@@ -1,0 +1,135 @@
+"""ctypes bindings for the native C++ runtime (CSV/PLY codecs).
+
+Builds ``_radar_native.so`` from ``radar_native.cpp`` on first import (cached,
+rebuilt when the source is newer).  Every entry point has a pure-NumPy
+fallback in core/loaders.py and core/writers.py, gated on ``HAVE_NATIVE``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "HAVE_NATIVE",
+    "parse_numeric_csv",
+    "count_csv_rows",
+    "write_ply_ascii",
+    "parse_ascii_rows",
+]
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "radar_native.cpp"
+_SO = _HERE / "_radar_native.so"
+
+_lib: Optional[ctypes.CDLL] = None
+HAVE_NATIVE = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", str(_SO), str(_SRC),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as exc:  # noqa: BLE001 - any build failure -> fallback
+        print(f"[radar_native] build failed, using NumPy fallbacks: {exc}",
+              file=sys.stderr)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    if not _SO.exists() or (_SRC.exists() and _SRC.stat().st_mtime > _SO.stat().st_mtime):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as exc:
+        print(f"[radar_native] load failed: {exc}", file=sys.stderr)
+        return None
+
+    lib.parse_numeric_csv.restype = ctypes.c_int
+    lib.parse_numeric_csv.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.count_csv_rows.restype = ctypes.c_int
+    lib.count_csv_rows.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.write_ply_ascii.restype = ctypes.c_int
+    lib.write_ply_ascii.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
+    lib.parse_ascii_rows.restype = ctypes.c_int
+    lib.parse_ascii_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    return lib
+
+
+if os.environ.get("RADAR_TPU_NO_NATIVE", "0") != "1":
+    _lib = _load()
+    HAVE_NATIVE = _lib is not None
+
+
+def _fptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def count_csv_rows(path: Path, skip_rows: int = 1) -> int:
+    assert _lib is not None
+    n = _lib.count_csv_rows(str(path).encode(), skip_rows)
+    if n < 0:
+        raise IOError(f"count_csv_rows failed for {path}")
+    return n
+
+
+def parse_numeric_csv(path: Path, ncols: int, skip_rows: int = 1,
+                      max_rows: Optional[int] = None) -> np.ndarray:
+    """Parse a numeric CSV into a (rows, ncols) float32 array (missing -> 0)."""
+    assert _lib is not None
+    if max_rows is None:
+        max_rows = count_csv_rows(path, skip_rows)
+    out = np.empty((max(max_rows, 1), ncols), dtype=np.float32)
+    n = _lib.parse_numeric_csv(str(path).encode(), ncols, skip_rows,
+                               _fptr(out), max_rows)
+    if n < 0:
+        raise IOError(f"parse_numeric_csv failed for {path}")
+    return out[:n]
+
+
+def write_ply_ascii(path: Path, header: str, x: np.ndarray, y: np.ndarray,
+                    z: np.ndarray, rgb: np.ndarray, precision: int = 6) -> None:
+    assert _lib is not None
+    n = int(x.size)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    y = np.ascontiguousarray(y, dtype=np.float32)
+    z = np.ascontiguousarray(z, dtype=np.float32)
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    rc = _lib.write_ply_ascii(
+        str(path).encode(), header.encode(), n,
+        _fptr(x), _fptr(y), _fptr(z),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), precision,
+    )
+    if rc != 0:
+        raise IOError(f"write_ply_ascii failed for {path}")
+
+
+def parse_ascii_rows(path: Path, offset: int, n_rows: int, ncols: int) -> np.ndarray:
+    assert _lib is not None
+    out = np.empty((max(n_rows, 1), ncols), dtype=np.float32)
+    n = _lib.parse_ascii_rows(str(path).encode(), offset, n_rows, ncols, _fptr(out))
+    if n < 0:
+        raise IOError(f"parse_ascii_rows failed for {path}")
+    return out[:n]

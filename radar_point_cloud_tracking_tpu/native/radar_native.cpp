@@ -1,0 +1,307 @@
+// Native runtime for the TPU radar pipeline: fast CSV/PLY codecs.
+//
+// The reference implements its hot host-side I/O in Rust
+// (radar-pipeline-rs/src/core/loaders.rs:200-604, writers.rs:84-334).  This
+// library provides the TPU framework's equivalent: a zero-copy CSV number
+// parser feeding preallocated NumPy buffers, and ASCII/binary PLY encode /
+// decode.  Exposed through a plain C ABI and bound via ctypes (no pybind11).
+//
+// Build: see build.py (g++ -O3 -march=native -shared -fPIC).
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fast float parsing
+// ---------------------------------------------------------------------------
+
+// Parse a decimal float starting at *p, advancing *p past the number.
+// Handles [+-]digits[.digits][eE[+-]digits].  Falls back to strtof only for
+// exponents, which radar CSVs do not contain in practice.
+static inline float parse_float_fast(const char **pp, const char *end) {
+    const char *p = *pp;
+    // skip spaces
+    while (p < end && (*p == ' ' || *p == '\t')) p++;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) {
+        neg = (*p == '-');
+        p++;
+    }
+    int64_t int_part = 0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+        int_part = int_part * 10 + (*p - '0');
+        p++;
+        any = true;
+    }
+    double value = (double)int_part;
+    if (p < end && *p == '.') {
+        p++;
+        double frac = 0.0, scale = 1.0;
+        while (p < end && *p >= '0' && *p <= '9') {
+            frac = frac * 10.0 + (*p - '0');
+            scale *= 10.0;
+            p++;
+            any = true;
+        }
+        value += frac / scale;
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        // rare path: re-parse with strtof for correctness
+        char *endptr = nullptr;
+        float v = strtof(*pp, &endptr);
+        *pp = endptr;
+        return v;
+    }
+    if (!any) {
+        // empty field -> 0 (matches pandas fillna(0) in the reference loader,
+        // radar-pipeline core/loaders.py:80)
+        *pp = p;
+        return 0.0f;
+    }
+    *pp = p;
+    return neg ? (float)-value : (float)value;
+}
+
+// ---------------------------------------------------------------------------
+// Radar CSV parser
+// ---------------------------------------------------------------------------
+
+// Parse a numeric CSV with `ncols` columns per row, skipping `skip_rows`
+// leading rows (the header).  Writes row-major float32 into `out`
+// (capacity max_rows * ncols).  Missing trailing fields fill with 0.
+// Returns number of data rows parsed, or -1 on I/O error.
+int parse_numeric_csv(const char *path, int ncols, int skip_rows,
+                      float *out, int max_rows) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return -1;
+    }
+    size_t size = (size_t)st.st_size;
+    if (size == 0) {
+        close(fd);
+        return 0;
+    }
+    const char *data =
+        (const char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (data == MAP_FAILED) return -1;
+
+    const char *p = data;
+    const char *end = data + size;
+
+    // skip header rows
+    for (int i = 0; i < skip_rows && p < end; i++) {
+        const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+        p = nl ? nl + 1 : end;
+    }
+
+    int row = 0;
+    while (p < end && row < max_rows) {
+        const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+        const char *line_end = nl ? nl : end;
+        if (line_end == p || (*p == '\r' && line_end == p + 1)) {
+            // empty line
+            p = nl ? nl + 1 : end;
+            continue;
+        }
+        float *dst = out + (size_t)row * ncols;
+        const char *q = p;
+        int col = 0;
+        while (col < ncols) {
+            if (q >= line_end) {
+                dst[col++] = 0.0f;  // missing trailing fields -> 0
+                continue;
+            }
+            dst[col++] = parse_float_fast(&q, line_end);
+            // advance past the delimiter
+            while (q < line_end && *q != ',') q++;
+            if (q < line_end) q++;
+        }
+        row++;
+        p = nl ? nl + 1 : end;
+    }
+
+    munmap((void *)data, size);
+    return row;
+}
+
+// Count data rows (newlines after skip_rows) so the caller can size buffers.
+int count_csv_rows(const char *path, int skip_rows) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return -1;
+    }
+    size_t size = (size_t)st.st_size;
+    if (size == 0) {
+        close(fd);
+        return 0;
+    }
+    const char *data =
+        (const char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (data == MAP_FAILED) return -1;
+    int rows = 0;
+    const char *p = data;
+    const char *end = data + size;
+    bool last_had_content = false;
+    while (p < end) {
+        const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+        const char *line_end = nl ? nl : end;
+        if (line_end > p && !(*p == '\r' && line_end == p + 1)) rows++;
+        last_had_content = false;
+        (void)last_had_content;
+        p = nl ? nl + 1 : end;
+    }
+    munmap((void *)data, size);
+    rows -= skip_rows;
+    return rows < 0 ? 0 : rows;
+}
+
+// ---------------------------------------------------------------------------
+// PLY writers
+// ---------------------------------------------------------------------------
+
+static inline char *format_fixed(char *buf, float vf, int precision) {
+    // %.{precision}f formatting without printf overhead
+    double v = (double)vf;
+    if (v < 0) {
+        *buf++ = '-';
+        v = -v;
+    }
+    static const double pow10[] = {1, 10, 100, 1000, 10000, 100000, 1000000};
+    double scale = pow10[precision];
+    // round-half-away like printf's typical behaviour on these magnitudes
+    uint64_t scaled = (uint64_t)(v * scale + 0.5);
+    uint64_t ip = scaled / (uint64_t)scale;
+    uint64_t fp = scaled % (uint64_t)scale;
+    // integer part
+    char tmp[24];
+    int n = 0;
+    if (ip == 0) {
+        tmp[n++] = '0';
+    } else {
+        while (ip > 0) {
+            tmp[n++] = (char)('0' + ip % 10);
+            ip /= 10;
+        }
+    }
+    while (n > 0) *buf++ = tmp[--n];
+    if (precision > 0) {
+        *buf++ = '.';
+        for (int i = precision - 1; i >= 0; i--) {
+            uint64_t div = 1;
+            for (int k = 0; k < i; k++) div *= 10;
+            *buf++ = (char)('0' + (fp / div) % 10);
+        }
+    }
+    return buf;
+}
+
+static inline char *format_u8(char *buf, uint8_t v) {
+    if (v >= 100) {
+        *buf++ = (char)('0' + v / 100);
+        *buf++ = (char)('0' + (v / 10) % 10);
+        *buf++ = (char)('0' + v % 10);
+    } else if (v >= 10) {
+        *buf++ = (char)('0' + v / 10);
+        *buf++ = (char)('0' + v % 10);
+    } else {
+        *buf++ = (char)('0' + v);
+    }
+    return buf;
+}
+
+// Write an ASCII PLY body ("x y z r g b\n" per point) after `header`.
+// precision selects %.6f (reference package writer, core/writers.py:45-46)
+// or %.4f (legacy script writer).  Returns 0 on success.
+int write_ply_ascii(const char *path, const char *header, int64_t n,
+                    const float *x, const float *y, const float *z,
+                    const uint8_t *rgb, int precision) {
+    FILE *fh = fopen(path, "wb");
+    if (!fh) return -1;
+    fwrite(header, 1, strlen(header), fh);
+
+    const size_t CHUNK = 1 << 16;
+    // worst case per line: 3 * (1+20+1+6) + 3*4 + 1 ≈ 100 bytes
+    char *buf = (char *)malloc(CHUNK * 128);
+    if (!buf) {
+        fclose(fh);
+        return -1;
+    }
+    for (int64_t start = 0; start < n; start += (int64_t)CHUNK) {
+        int64_t stop = start + (int64_t)CHUNK;
+        if (stop > n) stop = n;
+        char *w = buf;
+        for (int64_t i = start; i < stop; i++) {
+            w = format_fixed(w, x[i], precision);
+            *w++ = ' ';
+            w = format_fixed(w, y[i], precision);
+            *w++ = ' ';
+            w = format_fixed(w, z[i], precision);
+            *w++ = ' ';
+            w = format_u8(w, rgb[i * 3 + 0]);
+            *w++ = ' ';
+            w = format_u8(w, rgb[i * 3 + 1]);
+            *w++ = ' ';
+            w = format_u8(w, rgb[i * 3 + 2]);
+            *w++ = '\n';
+        }
+        fwrite(buf, 1, (size_t)(w - buf), fh);
+    }
+    free(buf);
+    fclose(fh);
+    return 0;
+}
+
+// Parse `n` whitespace-separated float rows of `ncols` columns starting at
+// byte `offset` of the file (ASCII PLY body).  Returns rows parsed or -1.
+int parse_ascii_rows(const char *path, int64_t offset, int64_t n, int ncols,
+                     float *out) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) {
+        close(fd);
+        return -1;
+    }
+    size_t size = (size_t)st.st_size;
+    const char *data =
+        (const char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (data == MAP_FAILED) return -1;
+    const char *p = data + offset;
+    const char *end = data + size;
+    int64_t row = 0;
+    while (p < end && row < n) {
+        float *dst = out + row * ncols;
+        for (int c = 0; c < ncols; c++) {
+            while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+                p++;
+            dst[c] = parse_float_fast(&p, end);
+        }
+        // advance to next line
+        const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+        p = nl ? nl + 1 : end;
+        row++;
+    }
+    munmap((void *)data, size);
+    return (int)row;
+}
+
+}  // extern "C"

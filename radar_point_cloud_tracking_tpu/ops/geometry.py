@@ -1,0 +1,234 @@
+"""Device geometry kernels: polar->Cartesian conversion, thresholding and
+deterministic strided compaction.
+
+TPU-first redesign of the reference conversion path
+(radar-pipeline core/transforms.py:13-132; PointCloudWork/
+4_temporal_object_tracker.py:184-232).  The reference masks ``echo >
+threshold``, flattens row-major and keeps every Nth survivor.  XLA needs
+static shapes, so instead of ragged flatten-then-stride we compute the
+equivalent *fused mask*:
+
+    rank = cumsum(mask) - 1            # rank of each survivor in flat order
+    keep = mask & (rank % stride == 0)
+
+which selects exactly the same points as ``flat[mask][::stride]`` while
+staying a fixed-shape elementwise program, then compact into fixed-capacity
+buffers with ``cumsum``-based scatter (row-major order preserved — required
+for exact-match cluster canonicalization downstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ProcessingConfig, RadarConfig
+from ..core.containers import PointCloud, RadarSweep
+
+__all__ = [
+    "PAD_COORD",
+    "polar_to_cartesian",
+    "sweep_keep_mask",
+    "compact_masked",
+    "convert_sweep",
+    "convert_sweeps_batched",
+    "sweep_to_point_cloud_host",
+    "sweep_to_points_simple",
+    "repack_padded",
+]
+
+# Padding coordinate placed far outside any radar scene (scale <= ~50 km) so
+# padded slots can never be spatial neighbors of real points.
+PAD_COORD = np.float32(1.0e9)
+
+
+def polar_to_cartesian(
+    angles_rad: jnp.ndarray,
+    ranges: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convert polar (angles (A,), ranges (A, B)) to Cartesian x/y (A, B)."""
+    x = ranges * jnp.cos(angles_rad)[:, None]
+    y = ranges * jnp.sin(angles_rad)[:, None]
+    return x, y
+
+
+def sweep_keep_mask(
+    echo: jnp.ndarray,
+    threshold: jnp.ndarray,
+    stride: int,
+    row_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused threshold + stride selection.
+
+    Returns (keep mask (A, B), rank (A, B)) where ``rank`` is each point's
+    index in the reference's flattened masked order.
+    """
+    mask = echo > threshold
+    if row_valid is not None:
+        mask = mask & row_valid[:, None]
+    flat = mask.reshape(-1)
+    rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    if stride > 1:
+        keep = flat & (rank % stride == 0)
+    else:
+        keep = flat
+    return keep.reshape(mask.shape), rank.reshape(mask.shape)
+
+
+def compact_masked(
+    values: jnp.ndarray,  # (..., K) leading point axes flattened internally
+    keep: jnp.ndarray,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact ``values[keep]`` (row-major order) into a (capacity, K) buffer.
+
+    Returns (compacted values, count).  Points beyond ``capacity`` are
+    dropped (callers size capacity so this cannot happen for supported
+    configurations).  Padded coordinate slots are filled with PAD_COORD.
+    """
+    flat_keep = keep.reshape(-1)
+    flat_vals = values.reshape(-1, values.shape[-1])
+    n = flat_keep.shape[0]
+    # destination slot for each kept element = its rank among kept
+    dest = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    count = jnp.minimum(dest[-1] + 1, capacity).astype(jnp.int32)
+    dest = jnp.where(flat_keep & (dest < capacity), dest, capacity)  # OOB drop
+    out = jnp.full((capacity + 1, flat_vals.shape[-1]), PAD_COORD,
+                   dtype=flat_vals.dtype)
+    out = out.at[dest].set(flat_vals, mode="drop")
+    return out[:capacity], count
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "capacity", "num_bins"))
+def convert_sweep(
+    echo: jnp.ndarray,  # (A, B) float32
+    angles_rad: jnp.ndarray,  # (A,)
+    scale: jnp.ndarray,  # (A,)
+    row_valid: jnp.ndarray,  # (A,) bool
+    threshold: jnp.ndarray,
+    stride: int,
+    capacity: int,
+    num_bins: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused device program: range grid + polar->Cartesian + threshold +
+    stride + compaction for a single sweep.
+
+    Returns ((capacity, 3) xyz where z = intensity, count).
+    """
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+    ranges = (scale[:, None] / np.float32(num_bins)) * bins
+    x, y = polar_to_cartesian(angles_rad, ranges)
+    keep, _ = sweep_keep_mask(echo, threshold, stride, row_valid)
+    xyz = jnp.stack([x, y, echo], axis=-1)
+    return compact_masked(xyz, keep, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "capacity", "num_bins"))
+def convert_sweeps_batched(
+    echo: jnp.ndarray,  # (G, A, B)
+    angles_rad: jnp.ndarray,  # (G, A)
+    scale: jnp.ndarray,  # (G, A)
+    row_valid: jnp.ndarray,  # (G, A)
+    threshold: jnp.ndarray,
+    stride: int,
+    capacity: int,
+    num_bins: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmap of :func:`convert_sweep` over the gain axis.
+
+    Returns ((G, capacity, 3), (G,) counts).
+    """
+    fn = lambda e, a, s, rv: convert_sweep(  # noqa: E731
+        e, a, s, rv, threshold, stride, capacity, num_bins)
+    return jax.vmap(fn)(echo, angles_rad, scale, row_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("total_capacity",))
+def repack_padded(
+    values: jnp.ndarray,  # (S, C, K) padded segments
+    counts: jnp.ndarray,  # (S,) valid lengths
+    total_capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate padded fixed-capacity segments into one tight buffer.
+
+    Preserves segment order then within-segment order, i.e. the reference's
+    concatenation semantics (4_temporal_object_tracker.py:339-344).
+    Returns ((total_capacity, K), total count).
+    """
+    s, c, k = values.shape
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts.astype(jnp.int32))])
+    local = jnp.arange(c, dtype=jnp.int32)[None, :]
+    valid = local < counts[:, None]
+    dest = offsets[:-1, None] + local
+    dest = jnp.where(valid & (dest < total_capacity), dest, total_capacity)
+    out = jnp.full((total_capacity + 1, k), PAD_COORD, dtype=values.dtype)
+    out = out.at[dest.reshape(-1)].set(values.reshape(-1, k), mode="drop")
+    total = jnp.minimum(offsets[-1], total_capacity).astype(jnp.int32)
+    return out[:total_capacity], total
+
+
+# ---------------------------------------------------------------------------
+# Host-facing conveniences (reference API parity)
+# ---------------------------------------------------------------------------
+
+
+def sweep_to_point_cloud_host(
+    sweep: RadarSweep,
+    config: Optional[ProcessingConfig] = None,
+    radar_config: Optional[RadarConfig] = None,
+) -> PointCloud:
+    """Reference-parity ``sweep_to_point_cloud`` (core/transforms.py:37-79):
+    threshold + stride over the Angle-column conversion, returning exactly
+    the masked flat order."""
+    if config is None:
+        config = ProcessingConfig()
+
+    echo = jnp.asarray(sweep.intensities)
+    angles = jnp.asarray(sweep.angles_rad)
+    scale = jnp.asarray(sweep.scale)
+    row_valid = jnp.ones(echo.shape[0], dtype=bool)
+    capacity = _auto_capacity(echo.size, config.point_stride)
+    xyz, count = convert_sweep(
+        echo, angles, scale, row_valid,
+        jnp.float32(config.intensity_threshold),
+        config.point_stride, capacity, echo.shape[1],
+    )
+    xyz = np.asarray(xyz)
+    n = int(count)
+    return PointCloud(x=xyz[:n, 0], y=xyz[:n, 1], z=xyz[:n, 2])
+
+
+def sweep_to_points_simple(
+    angles_rad: np.ndarray,
+    intensities: np.ndarray,
+    range_bin_width: float = 0.5,
+    range_start: float = 0.0,
+    min_intensity: float = 0.0,
+    stride: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Uniform-bin conversion (reference core/transforms.py:82-132):
+    ranges = range_start + bin_idx * bin_width, angle per row index."""
+    echo = jnp.asarray(intensities, dtype=jnp.float32)
+    num_bins = echo.shape[1]
+    ranges = np.float32(range_start) + jnp.arange(num_bins, dtype=jnp.float32) * np.float32(range_bin_width)
+    ranges = jnp.broadcast_to(ranges[None, :], echo.shape)
+    x, y = polar_to_cartesian(jnp.asarray(angles_rad, dtype=jnp.float32), ranges)
+    keep, _ = sweep_keep_mask(echo, jnp.float32(min_intensity), stride)
+    capacity = _auto_capacity(int(echo.size), stride)
+    xyz = jnp.stack([x, y, echo], axis=-1)
+    out, count = compact_masked(xyz, keep, capacity)
+    out = np.asarray(out)
+    n = int(count)
+    return out[:n, 0], out[:n, 1], out[:n, 2]
+
+
+def _auto_capacity(total_cells: int, stride: int) -> int:
+    """Static compaction capacity: every cell could survive the threshold, so
+    ceil(total/stride) bounds the output exactly; round up to 8 for layout."""
+    cap = -(-total_cells // max(stride, 1))
+    return int(-(-cap // 8) * 8)
