@@ -1,0 +1,148 @@
+"""Device grid ops: persistence occupancy grids, land masking, max-pool
+multi-gain fusion.
+
+The reference builds these with ``np.digitize`` + ``np.add.at`` /
+``np.maximum.at`` host loops (4_temporal_object_tracker.py:359-436,
+5_gain_fusion_ply_builder.py:222-273).  Here each becomes one fused XLA
+scatter program over the whole padded point batch; per-frame loops become a
+segment dimension.  Bin edges are computed host-side with ``np.arange`` so
+float semantics match ``np.digitize`` bit-for-bit, and lookups use
+``searchsorted`` on those exact edges.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "make_edges",
+    "digitize_clip",
+    "occupancy_grid",
+    "land_mask_from_grids",
+    "land_keep_mask",
+    "fuse_max_grid",
+]
+
+
+def make_edges(vmin: float, vmax: float, resolution: float) -> np.ndarray:
+    """Bin edges with np.arange accumulation semantics
+    (4_temporal_object_tracker.py:372-373)."""
+    return np.arange(vmin, vmax + resolution, resolution)
+
+
+def digitize_clip(values: jnp.ndarray, edges: jnp.ndarray, n_cells: int) -> jnp.ndarray:
+    """``clip(digitize(v, edges) - 1, 0, n_cells - 1)`` on device.
+
+    np.digitize(v, edges) (increasing edges) == searchsorted(edges, v,
+    side='right').
+    """
+    idx = jnp.searchsorted(edges, values, side="right") - 1
+    return jnp.clip(idx, 0, n_cells - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny"))
+def occupancy_grid(
+    xy: jnp.ndarray,  # (N, 2) padded points (all frames flattened)
+    intensity: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    frame_occurrence_weight: jnp.ndarray,  # (N,) float: 1.0 per valid point
+    x_edges: jnp.ndarray,
+    y_edges: jnp.ndarray,
+    nx: int,
+    ny: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter per-point counts and intensity sums into an (nx, ny) grid.
+
+    One call covers all frames at once — the reference's per-frame loop
+    (4_temporal_object_tracker.py:378-389) collapses into a single scatter.
+    Returns (count (nx, ny) int32, intensity_sum (nx, ny) float32).
+    """
+    xi = digitize_clip(xy[:, 0], x_edges, nx)
+    yi = digitize_clip(xy[:, 1], y_edges, ny)
+    flat = xi * ny + yi
+    flat = jnp.where(valid, flat, nx * ny)  # padded points scatter off-grid
+    count = jnp.zeros((nx * ny + 1,), jnp.int32).at[flat].add(
+        frame_occurrence_weight.astype(jnp.int32), mode="drop")
+    isum = jnp.zeros((nx * ny + 1,), jnp.float32).at[flat].add(
+        jnp.where(valid, intensity, 0.0), mode="drop")
+    return count[:-1].reshape(nx, ny), isum[:-1].reshape(nx, ny)
+
+
+@jax.jit
+def land_mask_from_grids(
+    count: jnp.ndarray,
+    isum: jnp.ndarray,
+    num_frames: jnp.ndarray,
+    persistence_threshold: jnp.ndarray,
+    min_intensity: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cells occupied in >= persistence fraction of frames AND with average
+    intensity >= min_intensity (4_temporal_object_tracker.py:394-410)."""
+    persistence = count / jnp.maximum(num_frames, 1)
+    avg = jnp.where(count > 0, isum / count, 0.0)
+    return (persistence >= persistence_threshold) & (avg >= min_intensity)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def land_keep_mask(
+    xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    land_mask: jnp.ndarray,  # (nx, ny) bool
+    x_edges: jnp.ndarray,
+    y_edges: jnp.ndarray,
+) -> jnp.ndarray:
+    """True for points whose grid cell is not land (padded points keep their
+    validity as-is so downstream masks stay consistent)."""
+    nx, ny = land_mask.shape
+    xi = digitize_clip(xy[:, 0], x_edges, nx)
+    yi = digitize_clip(xy[:, 1], y_edges, ny)
+    return valid & ~land_mask[xi, yi]
+
+
+@functools.partial(jax.jit, static_argnames=("x_bins", "y_bins"))
+def fuse_max_grid(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    intensity: jnp.ndarray,
+    valid: jnp.ndarray,
+    x_min: jnp.ndarray,
+    y_min: jnp.ndarray,
+    resolution: jnp.ndarray,
+    x_bins: int,
+    y_bins: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grid max-pool fusion (5_gain_fusion_ply_builder.py:246-273).
+
+    Returns (max_grid (x_bins, y_bins), keep (y-major flat bool mask of
+    occupied cells)).  Cell centers + output ordering (y-major, matching the
+    reference's transposed np.where) are reconstructed by the caller with
+    :func:`max_grid_to_points`.
+    """
+    xi = ((x - x_min) / resolution).astype(jnp.int32)
+    yi = ((y - y_min) / resolution).astype(jnp.int32)
+    flat = xi * y_bins + yi
+    flat = jnp.where(valid, flat, x_bins * y_bins)
+    grid = jnp.zeros((x_bins * y_bins + 1,), jnp.float32).at[flat].max(
+        jnp.where(valid, intensity, 0.0), mode="drop")
+    grid = grid[:-1].reshape(x_bins, y_bins)
+    keep_t = (grid.T > 0).reshape(-1)  # y-major traversal order
+    return grid, keep_t
+
+
+def max_grid_to_points(
+    grid: np.ndarray,
+    x_min: float,
+    y_min: float,
+    resolution: float,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract occupied cell centers in the reference's transposed-where
+    order (5_gain_fusion_ply_builder.py:266-273)."""
+    occ_y, occ_x = np.where(np.asarray(grid).T > 0)
+    out_x = x_min + occ_x * resolution + resolution / 2
+    out_y = y_min + occ_y * resolution + resolution / 2
+    return out_x, out_y, np.asarray(grid)[occ_x, occ_y]

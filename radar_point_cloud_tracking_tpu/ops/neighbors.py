@@ -1,0 +1,321 @@
+"""Spatio-temporal neighbor engine: Morton-sorted tile pairs with bounding-box
+pruning.
+
+This replaces the reference's BallTree / KD-tree radius queries
+(radar-pipeline processors/clustering.py:84-85; radar-pipeline-rs
+clustering.rs:228-258) with a TPU-shaped design:
+
+1. hash points into eps-sized cells and sort by Morton code (device sort) —
+   spatial locality becomes memory locality;
+2. group sorted points into fixed tiles; compute per-tile space/time bounding
+   boxes;
+3. prune: tile pair (q, c) interacts only if boxes overlap within eps_space /
+   eps_time — a (T, T) boolean matrix reduced to per-query candidate lists;
+4. sweep: for each query tile, scan its candidate tiles and evaluate the
+   dense (tile x tile) pair predicate on the VPU, accumulating per-point
+   reductions (neighbor counts, frame-presence bitmasks, label minima).
+
+All shapes static; candidate-list width K is bucketed to limit recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "SpatialIndex",
+    "build_spatial_index",
+    "neighbor_core_stats",
+    "neighbor_min_sweep",
+]
+
+INT_MAX = np.int32(2**31 - 1)
+_QUERY_CHUNK = 8  # query tiles processed together in a sweep step
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SpatialIndex:
+    """Morton-sorted, tiled view of a point set plus pruned tile-pair lists."""
+
+    coords: jnp.ndarray  # (Ntiles, T, D) sorted
+    times: jnp.ndarray  # (Ntiles, T)
+    valid: jnp.ndarray  # (Ntiles, T)
+    perm: jnp.ndarray  # (N,) original index of each sorted slot
+    cand_idx: jnp.ndarray  # (Ntiles, K) candidate tile ids (self included)
+    cand_count: jnp.ndarray  # (Ntiles,) number of valid candidates
+
+    def tree_flatten(self):
+        return ((self.coords, self.times, self.valid, self.perm,
+                 self.cand_idx, self.cand_count), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def tile(self) -> int:
+        return self.coords.shape[1]
+
+
+def _morton_interleave(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 16 bits of v so they occupy even bit positions."""
+    v = v & 0xFFFF
+    v = (v | (v << 8)) & 0x00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F
+    v = (v | (v << 2)) & 0x33333333
+    v = (v | (v << 1)) & 0x55555555
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "tile"))
+def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile):
+    n = coords.shape[0]
+    d = coords.shape[1]
+    x = coords[:, 0]
+    y = coords[:, 1]
+    safe = valid
+    xmin = jnp.min(jnp.where(safe, x, jnp.inf))
+    ymin = jnp.min(jnp.where(safe, y, jnp.inf))
+    cx = jnp.clip(((x - xmin) / cell_size).astype(jnp.int32), 0, 0x7FFF)
+    cy = jnp.clip(((y - ymin) / cell_size).astype(jnp.int32), 0, 0x7FFF)
+    morton = _morton_interleave(cx) | (_morton_interleave(cy) << 1)
+    key = jnp.where(valid, morton, INT_MAX)
+    perm = jnp.argsort(key, stable=True)
+
+    pad = num_tiles * tile - n
+    coords_s = coords[perm]
+    times_s = times[perm]
+    valid_s = valid[perm]
+    if pad:
+        coords_s = jnp.pad(coords_s, ((0, pad), (0, 0)))
+        times_s = jnp.pad(times_s, ((0, pad),))
+        valid_s = jnp.pad(valid_s, ((0, pad),))
+    coords_t = coords_s.reshape(num_tiles, tile, d)
+    times_t = times_s.reshape(num_tiles, tile)
+    valid_t = valid_s.reshape(num_tiles, tile)
+
+    # per-tile bounding boxes over valid points only
+    big = jnp.float32(np.inf)
+    lo = jnp.min(jnp.where(valid_t[..., None], coords_t, big), axis=1)
+    hi = jnp.max(jnp.where(valid_t[..., None], coords_t, -big), axis=1)
+    tlo = jnp.min(jnp.where(valid_t, times_t, big), axis=1)
+    thi = jnp.max(jnp.where(valid_t, times_t, -big), axis=1)
+    return coords_t, times_t, valid_t, perm, lo, hi, tlo, thi
+
+
+@jax.jit
+def _tile_pair_mask(lo, hi, tlo, thi, eps_space, eps_time):
+    """(Ntiles, Ntiles) bool: bounding boxes within eps in every spatial dim
+    and within eps_time temporally."""
+    sep = jnp.maximum(lo[:, None, :] - hi[None, :, :],
+                      lo[None, :, :] - hi[:, None, :])  # per-dim gap (can be -inf)
+    gap = jnp.maximum(sep, 0.0)
+    space_ok = jnp.sum(gap * gap, axis=-1) <= eps_space * eps_space
+    tgap = jnp.maximum(jnp.maximum(tlo[:, None] - thi[None, :],
+                                   tlo[None, :] - thi[:, None]), 0.0)
+    time_ok = tgap <= eps_time
+    nonempty = jnp.isfinite(tlo)
+    return space_ok & time_ok & nonempty[:, None] & nonempty[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k_pad",))
+def _candidates_from_mask(mask, k_pad):
+    count = jnp.sum(mask, axis=1).astype(jnp.int32)
+    order = jnp.argsort(~mask, axis=1, stable=True)  # True entries first, ascending
+    return order[:, :k_pad].astype(jnp.int32), count
+
+
+def build_spatial_index(
+    coords: jnp.ndarray,  # (N, D) padded
+    times: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    eps_space: float,
+    eps_time: float,
+    tile: int = 512,
+    cell_size: Optional[float] = None,
+) -> SpatialIndex:
+    """Build the sorted tile index + pruned candidate lists.
+
+    One host sync (the candidate-list width) per distinct data distribution;
+    K is bucketed to powers of two to bound recompilation.
+    """
+    if cell_size is None:
+        cell_size = eps_space
+    n = coords.shape[0]
+    num_tiles = max(1, -(-n // tile))
+    coords_t, times_t, valid_t, perm, lo, hi, tlo, thi = _sort_and_tile(
+        jnp.asarray(coords, jnp.float32), jnp.asarray(times, jnp.float32),
+        jnp.asarray(valid), jnp.float32(cell_size), num_tiles, tile)
+    mask = _tile_pair_mask(lo, hi, tlo, thi, jnp.float32(eps_space),
+                           jnp.float32(eps_time))
+    k_max = int(jnp.max(jnp.sum(mask, axis=1)))  # host sync (tiny array)
+    k_pad = 1
+    while k_pad < max(k_max, 1):
+        k_pad *= 2
+    k_pad = min(k_pad, num_tiles)
+    cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
+    return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
+                        perm=perm, cand_idx=cand_idx, cand_count=cand_count)
+
+
+# ---------------------------------------------------------------------------
+# Sweeps
+# ---------------------------------------------------------------------------
+
+
+def _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time):
+    """Dense (QC, T, T) spatio-temporal neighbor predicate for a chunk of
+    query tiles against one gathered candidate tile each."""
+    diff = qc[:, :, None, :] - cc[:, None, :, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    dt = ct[:, None, :] - qt[:, :, None]
+    return ((d2 <= eps2) & (jnp.abs(dt) <= eps_time)
+            & qv[:, :, None] & cv[:, None, :]), dt
+
+
+@functools.partial(jax.jit, static_argnames=("n_offsets",))
+def neighbor_core_stats(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    n_offsets: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point ST-neighbor count (self included) and, when n_offsets > 0,
+    the count of distinct integer frame offsets covered by neighbors
+    (for the min_frames temporal-persistence core test,
+    stdbscan_denoising_pipeline.py:308-315).
+
+    Returns (degree (Ntiles, T) int32, frame_count (Ntiles, T) int32).
+    """
+    eps2 = eps_space * eps_space
+    coords, times, valid = index.coords, index.times, index.valid
+    num_tiles, tile = index.num_tiles, index.tile
+    ki = n_offsets  # frame offsets in [-ki, ki]
+
+    def chunk_fn(args):
+        qc, qt, qv, cands, ccount = args
+
+        def body(carry, k):
+            deg, fbits = carry
+            cidx = cands[:, k]
+            live = k < ccount
+            cc = coords[cidx]
+            ct = times[cidx]
+            cv = valid[cidx] & live[:, None]
+            mask, dt = _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time)
+            deg = deg + jnp.sum(mask, axis=2, dtype=jnp.int32)
+            if ki > 0:
+                dti = jnp.round(dt).astype(jnp.int32)
+                for off in range(-ki, ki + 1):
+                    hit = jnp.any(mask & (dti == off), axis=2)
+                    fbits = fbits | jnp.where(hit, np.int32(1 << (off + ki)),
+                                              0).astype(jnp.int32)
+            return (deg, fbits), None
+
+        qshape = qc.shape[:2]
+        init = (jnp.zeros(qshape, jnp.int32), jnp.zeros(qshape, jnp.int32))
+        (deg, fbits), _ = jax.lax.scan(body, init,
+                                       jnp.arange(cands.shape[1]))
+        return deg, fbits
+
+    qcs = _chunked(index, _QUERY_CHUNK)
+    deg, fbits = jax.lax.map(chunk_fn, qcs)
+    deg = deg.reshape(num_tiles, tile)
+    fbits = fbits.reshape(num_tiles, tile)
+    frame_count = _popcount(fbits) if ki > 0 else jnp.zeros_like(deg)
+    return deg, frame_count
+
+
+@functools.partial(jax.jit, static_argnames=("use_limit",))
+def neighbor_min_sweep(
+    index: SpatialIndex,
+    payload: jnp.ndarray,  # (Ntiles, T) int32; masked-out points = INT_MAX
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    query_limit: Optional[jnp.ndarray] = None,  # (Ntiles, T) int32
+    bypass_limit: Optional[jnp.ndarray] = None,  # (Ntiles, T) bool
+    use_limit: bool = False,
+) -> jnp.ndarray:
+    """Per-point minimum of ``payload`` over ST-neighbors (self included).
+
+    With ``use_limit`` a neighbor's payload participates only when it is
+    strictly below the query point's ``query_limit`` OR the neighbor carries
+    ``bypass_limit`` (used for the denoiser's scan-order-dependent border
+    attachment, where a cluster's root core claims its direct neighbors
+    unconditionally).  Used both for connected-component label propagation
+    over core points and for border-point cluster attachment.
+    """
+    eps2 = eps_space * eps_space
+    coords, times, valid = index.coords, index.times, index.valid
+    num_tiles, tile = index.num_tiles, index.tile
+    if query_limit is None:
+        query_limit = jnp.zeros((1, 1), jnp.int32)  # placeholder
+    if bypass_limit is None:
+        bypass_limit = jnp.zeros((num_tiles, tile), bool)
+    limit_c = query_limit.reshape(num_tiles, tile) if use_limit else None
+
+    def chunk_fn(args):
+        qc, qt, qv, cands, ccount, qlim = args
+
+        def body(acc, k):
+            cidx = cands[:, k]
+            live = k < ccount
+            cc = coords[cidx]
+            ct = times[cidx]
+            cv = valid[cidx] & live[:, None]
+            mask, _ = _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time)
+            pay = pb = payload[cidx][:, None, :]  # (QC, 1, T)
+            if use_limit:
+                byp = bypass_limit[cidx][:, None, :]
+                mask = mask & ((pb < qlim[:, :, None]) | byp)
+            cand_min = jnp.min(jnp.where(mask, pay, INT_MAX), axis=2)
+            return jnp.minimum(acc, cand_min), None
+
+        init = jnp.full(qc.shape[:2], INT_MAX, jnp.int32)
+        acc, _ = jax.lax.scan(body, init, jnp.arange(cands.shape[1]))
+        return acc
+
+    qcs = _chunked(index, _QUERY_CHUNK)
+    if use_limit:
+        nc = qcs[0].shape[0]
+        qcs = qcs + (limit_c.reshape(nc, -1, tile),)
+    else:
+        qcs = qcs + (jnp.zeros((qcs[0].shape[0], qcs[0].shape[1], 1),
+                               jnp.int32),)
+    out = jax.lax.map(chunk_fn, qcs)
+    return out.reshape(num_tiles, tile)
+
+
+def _chunked(index: SpatialIndex, chunk: int):
+    """Reshape tile arrays into (num_chunks, chunk, ...) for lax.map."""
+    num_tiles, tile = index.num_tiles, index.tile
+    c = min(chunk, num_tiles)
+    while num_tiles % c:
+        c -= 1
+    nc = num_tiles // c
+    d = index.coords.shape[-1]
+    return (
+        index.coords.reshape(nc, c, tile, d),
+        index.times.reshape(nc, c, tile),
+        index.valid.reshape(nc, c, tile),
+        index.cand_idx.reshape(nc, c, -1),
+        index.cand_count.reshape(nc, c),
+    )
+
+
+def _popcount(v: jnp.ndarray) -> jnp.ndarray:
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return (v * 0x01010101) >> 24

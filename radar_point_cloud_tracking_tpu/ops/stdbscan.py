@@ -1,0 +1,227 @@
+"""Device ST-DBSCAN: core-point test + iterative min-label propagation with
+pointer jumping, canonicalized to the reference's sequential visit-order
+labels.
+
+The reference clusters with a sequential BFS expansion
+(radar-pipeline processors/clustering.py:49-115; min_frames variant
+stdbscan_denoising_pipeline.py:264-369); the Rust port merges with a CAS
+atomic union-find (radar-pipeline-rs clustering.rs:209-325).  TPUs have no
+CAS, so connected components are computed by synchronous min-label
+propagation over core-core edges with pointer jumping — O(log n) sweeps,
+fully deterministic.  The convergence loop lives on the host (one boolean
+sync per sweep) so each device program stays small and compiles once.
+
+Exact-match argument (tests verify against the CPU oracle):
+- a cluster = connected component of core points under the symmetric
+  ST-neighbor relation, plus border points having a core neighbor;
+- the reference numbers clusters in creation order = ascending minimum
+  original index of their core points (the scan at clustering.py:88 visits
+  indices in order and each component is created when its smallest core
+  index is reached);
+- a border point takes the earliest-created cluster among those whose cores
+  reach it = the neighboring cluster with the smallest min-core-index.
+
+The reference ships two border-attachment variants (see
+reference_impl/oracle.py): the package/tracker BFS attaches every border
+point ("always"), while the denoiser only attaches border points scanned
+after their cluster was created — a border point may only join clusters
+whose min-core-index is smaller than its own index ("if_earlier").  Both
+reduce to a thresholded min-sweep here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ClusteringConfig
+from .neighbors import (
+    INT_MAX,
+    SpatialIndex,
+    build_spatial_index,
+    neighbor_core_stats,
+    neighbor_min_sweep,
+)
+
+__all__ = ["st_dbscan_device", "st_dbscan", "compute_core_mask"]
+
+
+@jax.jit
+def _init_labels(core: jnp.ndarray) -> jnp.ndarray:
+    num_tiles, tile = core.shape
+    slot = jnp.arange(num_tiles * tile, dtype=jnp.int32).reshape(core.shape)
+    return jnp.where(core, slot, INT_MAX)
+
+
+@jax.jit
+def _cc_step(
+    index: SpatialIndex,
+    label: jnp.ndarray,
+    core: jnp.ndarray,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One propagation round: neighbor-min sweep + two pointer jumps.
+    Returns (new labels, changed?)."""
+    n_sorted = label.size
+
+    def jump(lbl):
+        flat = lbl.reshape(-1)
+        tgt = jnp.clip(flat, 0, n_sorted - 1)
+        jumped = jnp.where(flat < INT_MAX, flat[tgt], INT_MAX)
+        return jnp.minimum(flat, jumped).reshape(lbl.shape)
+
+    payload = jnp.where(core, label, INT_MAX)
+    nbr_min = neighbor_min_sweep(index, payload, eps_space, eps_time)
+    new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
+    new = jump(jump(new))
+    return new, jnp.any(new != label)
+
+
+@jax.jit
+def _finalize_keys(
+    index: SpatialIndex,
+    label: jnp.ndarray,
+    core: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Component keys (min original core index), cluster-id lookup table and
+    per-point original indices.  Returns (comp_key, rank_lookup,
+    num_clusters, perm2d)."""
+    num_tiles, tile = core.shape
+    n_sorted = num_tiles * tile
+    n_orig = index.perm.shape[0]
+
+    perm2d = index.perm.astype(jnp.int32)
+    pad = n_sorted - n_orig
+    if pad:
+        perm2d = jnp.concatenate(
+            [perm2d, jnp.full((pad,), INT_MAX, jnp.int32)])
+    perm2d = perm2d.reshape(num_tiles, tile)
+
+    root = jnp.where(core, label, 0).reshape(-1)
+    orig_rank = jnp.where(core, perm2d, INT_MAX).reshape(-1)
+    comp_min = jnp.full((n_sorted,), INT_MAX, jnp.int32).at[root].min(
+        orig_rank, mode="drop")
+    comp_key = jnp.where(core, comp_min[root].reshape(core.shape), INT_MAX)
+
+    presence = jnp.zeros((n_orig + 1,), jnp.int32).at[
+        jnp.clip(comp_key.reshape(-1), 0, n_orig)].max(
+        jnp.where(core.reshape(-1), 1, 0), mode="drop")
+    rank_lookup = jnp.cumsum(presence) - 1  # key -> cluster id
+    num_clusters = rank_lookup[n_orig] + 1 - presence[n_orig]
+    return comp_key, rank_lookup, num_clusters, perm2d
+
+
+@jax.jit
+def _assemble_labels(
+    index: SpatialIndex,
+    core: jnp.ndarray,
+    comp_key: jnp.ndarray,
+    border_key: jnp.ndarray,
+    rank_lookup: jnp.ndarray,
+) -> jnp.ndarray:
+    n_orig = index.perm.shape[0]
+    core_labels = rank_lookup[jnp.clip(comp_key, 0, n_orig)]
+    border_labels = jnp.where(
+        border_key < INT_MAX,
+        rank_lookup[jnp.clip(border_key, 0, n_orig)], -1)
+    labels_sorted = jnp.where(core, core_labels,
+                              jnp.where(index.valid, border_labels, -1))
+    return jnp.zeros((n_orig,), jnp.int32).at[index.perm].set(
+        labels_sorted.reshape(-1)[:n_orig])
+
+
+def compute_core_mask(
+    index: SpatialIndex,
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    min_frames: int = 1,
+) -> jnp.ndarray:
+    """ST-DBSCAN core-point mask over a built spatial index."""
+    n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
+    degree, frame_count = neighbor_core_stats(
+        index, jnp.float32(eps_space), jnp.float32(eps_time),
+        n_offsets=n_offsets)
+    core = index.valid & (degree >= jnp.int32(min_samples))
+    if min_frames > 1:
+        core = core & (frame_count >= jnp.int32(min_frames))
+    return core
+
+
+def st_dbscan_device(
+    coords: jnp.ndarray,  # (N, D) padded
+    times: jnp.ndarray,  # (N,)
+    valid: jnp.ndarray,  # (N,) bool
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    min_frames: int = 1,
+    border_mode: str = "always",
+    tile: int = 512,
+    cell_size: Optional[float] = None,
+    max_sweeps: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full device ST-DBSCAN over a padded point buffer.
+
+    Returns (labels (N,) int32 — noise/padding -1, num_clusters).
+    """
+    index = build_spatial_index(coords, times, valid, eps_space, eps_time,
+                                tile=tile, cell_size=cell_size)
+    es = jnp.float32(eps_space)
+    et = jnp.float32(eps_time)
+
+    core = compute_core_mask(index, eps_space, eps_time, min_samples,
+                             min_frames)
+    label = _init_labels(core)
+    for _ in range(max_sweeps):
+        label, changed = _cc_step(index, label, core, es, et)
+        if not bool(changed):  # host sync: one bool per round
+            break
+
+    comp_key, rank_lookup, num_clusters, perm2d = _finalize_keys(
+        index, label, core)
+    if border_mode == "if_earlier":
+        # a cluster claims border b when it was created before b was scanned
+        # (key < b's original index) OR b directly neighbors the cluster's
+        # root core (initial seeds are enqueued unconditionally in the
+        # reference BFS, stdbscan_denoising_pipeline.py:343-344)
+        is_root = core & (comp_key == perm2d)
+        border_key = neighbor_min_sweep(index, comp_key, es, et,
+                                        query_limit=perm2d,
+                                        bypass_limit=is_root, use_limit=True)
+    else:
+        border_key = neighbor_min_sweep(index, comp_key, es, et)
+    labels = _assemble_labels(index, core, comp_key, border_key, rank_lookup)
+    return labels, num_clusters
+
+
+def st_dbscan(
+    coords: np.ndarray,
+    times: np.ndarray,
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    min_frames: int = 1,
+    border_mode: str = "always",
+    config: Optional[ClusteringConfig] = None,
+) -> np.ndarray:
+    """Host-facing ST-DBSCAN (reference API parity, processors/
+    clustering.py:49-115): takes unpadded arrays, returns int32 labels."""
+    coords = np.asarray(coords, dtype=np.float32)
+    n = coords.shape[0]
+    if n == 0:
+        return np.empty((0,), dtype=np.int32)
+    tile = config.tile_size if config else 512
+    tile = min(tile, max(64, 1 << (n - 1).bit_length()))
+    labels, _ = st_dbscan_device(
+        jnp.asarray(coords), jnp.asarray(times, dtype=jnp.float32),
+        jnp.ones((n,), bool), eps_space, eps_time, min_samples,
+        min_frames=min_frames, border_mode=border_mode, tile=tile,
+        cell_size=config.cell_size if config else None,
+        max_sweeps=config.max_label_sweeps if config else 256)
+    return np.asarray(labels)

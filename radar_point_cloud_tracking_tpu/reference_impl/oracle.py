@@ -75,13 +75,24 @@ def oracle_st_dbscan(
     eps_time: float,
     min_samples: int,
     min_frames: int = 1,
+    border_mode: str = "always",
 ) -> np.ndarray:
     """Sequential ST-DBSCAN with the reference's visit-order label numbering.
 
     A point is core when it has >= min_samples spatio-temporal neighbors
     (self included) and, when min_frames > 1, those neighbors span at least
-    min_frames distinct integer frames.  Border points take the label of the
-    first cluster whose expansion reaches them.  Noise stays -1.
+    min_frames distinct integer frames.  Noise stays -1.
+
+    ``border_mode`` selects between the two reference variants, which differ
+    in border-point handling:
+
+    - "always" (package st_dbscan clustering.py:101-111 and the tracker
+      4_temporal_object_tracker.py:495-504): every ST-neighbor of an expanded
+      core gets the cluster label, even points already visited as noise —
+      the seeds *set* re-enqueues them.
+    - "if_earlier" (denoiser stdbscan_denoising_pipeline.py:343-366): the
+      queue only admits unvisited points, so a border point scanned before
+      its cluster was created stays noise.
     """
     n = coords.shape[0]
     labels = np.full(n, -1, dtype=np.int32)
@@ -112,21 +123,35 @@ def oracle_st_dbscan(
         if not core(nb):
             continue
         labels[i] = next_label
-        queue = list(nb)
-        queued = np.zeros(n, dtype=bool)
-        queued[nb] = True
-        while queue:
-            j = queue.pop(0)
-            if not visited[j]:
-                visited[j] = True
-                nb_j = st_neigh(j)
-                if core(nb_j):
-                    for k in nb_j:
-                        if not visited[k] and not queued[k]:
-                            queue.append(k)
-                            queued[k] = True
-            if labels[j] == -1:
-                labels[j] = next_label
+
+        if border_mode == "always":
+            seeds = set(int(k) for k in nb)
+            while seeds:
+                j = seeds.pop()
+                if not visited[j]:
+                    visited[j] = True
+                    nb_j = st_neigh(j)
+                    if core(nb_j):
+                        seeds.update(int(k) for k in nb_j)
+                        seeds.discard(j)
+                if labels[j] == -1:
+                    labels[j] = next_label
+        else:  # "if_earlier"
+            queue = list(nb)
+            queued = np.zeros(n, dtype=bool)
+            queued[nb] = True
+            while queue:
+                j = queue.pop(0)
+                if not visited[j]:
+                    visited[j] = True
+                    nb_j = st_neigh(j)
+                    if core(nb_j):
+                        for k in nb_j:
+                            if not visited[k] and not queued[k]:
+                                queue.append(k)
+                                queued[k] = True
+                if labels[j] == -1:
+                    labels[j] = next_label
         next_label += 1
     return labels
 

@@ -7,12 +7,18 @@ vars must be set before jax is first imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the tunneled TPU backend
+# and overrides JAX_PLATFORMS; the config update wins over both.
+jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path  # noqa: E402
 
