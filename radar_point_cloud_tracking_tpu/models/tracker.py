@@ -1,0 +1,361 @@
+"""Flagship temporal object-tracking pipeline (TPU).
+
+End-to-end equivalent of the reference tracker script
+(PointCloudWork/4_temporal_object_tracker.py:893-1038): discover -> group ->
+fuse gains -> persistence land filter -> ST-DBSCAN -> Hungarian tracking ->
+buoy/boat classification -> CSV artifacts + plots.  All numeric stages run
+on device with static shapes; the host only parses CSVs, orchestrates, and
+writes artifacts.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops import grid as grid_ops
+from ..ops.cluster_stats import per_frame_cluster_stats
+from ..ops.geometry import PAD_COORD, compact_masked
+from ..ops.stdbscan import st_dbscan_device
+from ..ops.tracking import (
+    TYPE_BOAT,
+    TYPE_BUOY,
+    TYPE_UNKNOWN,
+    TrackerState,
+    track_sequence,
+)
+from ..utils.profiling import StageTimer
+from ..utils.timestamps import discover_files, group_files_by_frame
+from .ingest import FrameBatchLoader, IngestedFrames
+
+__all__ = ["TrackingResult", "run_tracking_pipeline", "TrackingPipeline"]
+
+_TYPE_NAME = {TYPE_UNKNOWN: "unknown", TYPE_BUOY: "buoy", TYPE_BOAT: "boat"}
+
+
+@dataclass
+class TrackingResult:
+    """Everything the tracker pipeline produces, device-side + summaries."""
+
+    ingested: IngestedFrames
+    labels: np.ndarray  # (N,) global cluster labels over the tight buffer
+    points: np.ndarray  # (N, 6) x, y, intensity, frame_local, frame_id, gain
+    n_points: int
+    num_clusters: int
+    state: TrackerState  # final tracker state (numpy leaves)
+    records: dict  # per-frame tracking records (numpy)
+    cluster_stats: dict  # per-frame compacted cluster stats (numpy)
+    land_cells: int = 0
+    land_points_removed: int = 0
+    timings: Dict[str, float] = field(default_factory=dict)
+
+    # -- summaries --------------------------------------------------------
+    def objects_rows(self) -> List[dict]:
+        st = self.state
+        rows = []
+        for slot in np.nonzero(st.active)[0]:
+            vel_count = int(st.vel_count[slot])
+            if vel_count >= 2:
+                h = st.vel_ring.shape[1]
+                k = min(vel_count, h)
+                speeds = np.linalg.norm(st.vel_ring[slot], axis=-1)
+                mask = np.arange(h) < k
+                avg_vel = float(speeds[mask].mean())
+            else:
+                avg_vel = 0.0
+            rows.append({
+                "object_id": int(st.object_id[slot]),
+                "object_type": _TYPE_NAME[int(st.type_code[slot])],
+                "num_frames_seen": int(st.frames_seen[slot]),
+                "first_frame": int(st.first_frame[slot]),
+                "last_frame": int(st.last_seen[slot]),
+                "avg_velocity": avg_vel,
+                "final_x": float(st.last_pos[slot, 0]),
+                "final_y": float(st.last_pos[slot, 1]),
+            })
+        rows.sort(key=lambda r: r["object_id"])
+        return rows
+
+    def trajectory_rows(self) -> List[dict]:
+        st = self.state
+        surviving = {int(st.object_id[s]): _TYPE_NAME[int(st.type_code[s])]
+                     for s in np.nonzero(st.active)[0]}
+        rows = []
+        seen = self.records["seen"]
+        oid = self.records["object_id"]
+        pos = self.records["pos"]
+        f, o = seen.shape
+        for fi in range(f):
+            fid = int(self.ingested.frame_ids[fi])
+            for slot in range(o):
+                if seen[fi, slot]:
+                    obj = int(oid[fi, slot])
+                    if obj in surviving:
+                        rows.append({
+                            "object_id": obj,
+                            "object_type": surviving[obj],
+                            "frame_id": fid,
+                            "x": float(pos[fi, slot, 0]),
+                            "y": float(pos[fi, slot, 1]),
+                        })
+        rows.sort(key=lambda r: (r["object_id"], r["frame_id"]))
+        return rows
+
+    def cluster_rows(self) -> List[dict]:
+        cs = self.cluster_stats
+        rows = []
+        f, m = cs["valid"].shape
+        for fi in range(f):
+            fid = int(self.ingested.frame_ids[fi])
+            for k in range(m):
+                if cs["valid"][fi, k]:
+                    rows.append({
+                        "frame_id": fid,
+                        "cluster_id": int(cs["label"][fi, k]),
+                        "num_points": int(cs["num_points"][fi, k]),
+                        "centroid_x": float(cs["centroids"][fi, k, 0]),
+                        "centroid_y": float(cs["centroids"][fi, k, 1]),
+                        "mean_intensity": float(cs["mean_intensity"][fi, k]),
+                    })
+        return rows
+
+    def save_csvs(self, output_dir: Path) -> None:
+        """tracked_objects.csv / trajectories.csv / clusters.csv with the
+        reference's column sets (4_temporal_object_tracker.py:832-886)."""
+        import pandas as pd
+
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        pd.DataFrame(self.objects_rows(), columns=[
+            "object_id", "object_type", "num_frames_seen", "first_frame",
+            "last_frame", "avg_velocity", "final_x", "final_y",
+        ]).to_csv(output_dir / "tracked_objects.csv", index=False)
+        pd.DataFrame(self.trajectory_rows(), columns=[
+            "object_id", "object_type", "frame_id", "x", "y",
+        ]).to_csv(output_dir / "trajectories.csv", index=False)
+        pd.DataFrame(self.cluster_rows(), columns=[
+            "frame_id", "cluster_id", "num_points", "centroid_x",
+            "centroid_y", "mean_intensity",
+        ]).to_csv(output_dir / "clusters.csv", index=False)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny"))
+def _land_keep(flat_xy, flat_int, flat_valid, x_edges, y_edges, nx, ny,
+               num_frames, persistence, min_intensity):
+    count, isum = grid_ops.occupancy_grid(
+        flat_xy, flat_int, flat_valid,
+        flat_valid.astype(jnp.float32), x_edges, y_edges, nx, ny)
+    land = grid_ops.land_mask_from_grids(
+        count, isum, num_frames, persistence, min_intensity)
+    keep = grid_ops.land_keep_mask(flat_xy, flat_valid, land, x_edges, y_edges)
+    return keep, jnp.sum(land)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _flatten_and_compact(xyi, gain, count, frame_ids, keep, capacity):
+    """Flatten (F, C) frame buffers into one tight (capacity, 6) buffer:
+    columns x, y, intensity, local frame index, frame id, gain."""
+    f, c, _ = xyi.shape
+    local = jnp.broadcast_to(
+        jnp.arange(f, dtype=jnp.float32)[:, None], (f, c))
+    fid = jnp.broadcast_to(
+        jnp.asarray(frame_ids, jnp.float32)[:, None], (f, c))
+    vals = jnp.concatenate([
+        xyi, local[..., None], fid[..., None],
+        gain.astype(jnp.float32)[..., None],
+    ], axis=-1).reshape(f * c, 6)
+    out, total = compact_masked(vals, keep.reshape(f * c), capacity)
+    return out, total
+
+
+class TrackingPipeline:
+    """Programmatic pipeline object (the CLI and bench drive this)."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None,
+                 verbose: bool = True) -> None:
+        self.config = config or PipelineConfig()
+        self.verbose = verbose
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+
+    def run_on_frames(
+        self,
+        ingested: IngestedFrames,
+        eps_space: float = 8.0,
+        eps_time: float = 2.0,
+        min_samples: int = 15,
+        skip_land_filter: bool = False,
+    ) -> TrackingResult:
+        cfg = self.config
+        timer = StageTimer(verbose=self.verbose)
+        f = ingested.num_frames
+        c = ingested.capacity
+        valid = ingested.valid_mask()
+        flat_xy = ingested.xyi[..., :2].reshape(f * c, 2)
+        flat_int = ingested.xyi[..., 2].reshape(f * c)
+        flat_valid = valid.reshape(f * c)
+
+        # ---- land filter ------------------------------------------------
+        land_cells = 0
+        removed = 0
+        lf = cfg.land_filter
+        if not skip_land_filter and f > lf.min_frames_required:
+            with timer.stage("land_filter"):
+                xs = np.asarray(
+                    jnp.where(flat_valid, flat_xy[:, 0], jnp.inf))
+                ys = np.asarray(
+                    jnp.where(flat_valid, flat_xy[:, 1], jnp.inf))
+                x_min = float(np.min(xs))
+                y_min = float(np.min(ys))
+                x_max = float(np.max(np.where(np.isfinite(xs), xs, -np.inf)))
+                y_max = float(np.max(np.where(np.isfinite(ys), ys, -np.inf)))
+                x_edges = grid_ops.make_edges(x_min, x_max, lf.grid_resolution_m)
+                y_edges = grid_ops.make_edges(y_min, y_max, lf.grid_resolution_m)
+                nx, ny = len(x_edges) - 1, len(y_edges) - 1
+                keep, n_land = _land_keep(
+                    flat_xy, flat_int, flat_valid,
+                    jnp.asarray(x_edges, jnp.float32),
+                    jnp.asarray(y_edges, jnp.float32), nx, ny,
+                    jnp.int32(f), jnp.float32(lf.persistence_threshold),
+                    jnp.float32(lf.min_intensity))
+                land_cells = int(n_land)
+                removed = int(jnp.sum(flat_valid)) - int(jnp.sum(keep))
+                self._log(f"  Identified {land_cells} land cells; removed "
+                          f"{removed:,} land points")
+        else:
+            keep = flat_valid
+            self._log("  Skipping land filter")
+
+        # ---- tight buffer + clustering ---------------------------------
+        with timer.stage("repack"):
+            total = int(jnp.sum(keep))
+            capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
+            points, n_points = _flatten_and_compact(
+                ingested.xyi, ingested.gain, ingested.count,
+                jnp.asarray(ingested.frame_ids), keep, capacity)
+            n_points = int(n_points)
+
+        with timer.stage("st_dbscan"):
+            pvalid = jnp.arange(capacity) < n_points
+            labels, num_clusters = st_dbscan_device(
+                points[:, :2], points[:, 4], pvalid,
+                eps_space, eps_time, min_samples,
+                min_frames=1, border_mode="always",
+                tile=cfg.clustering.tile_size,
+                max_sweeps=cfg.clustering.max_label_sweeps)
+            num_clusters = int(num_clusters)
+            self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
+
+        # ---- per-frame cluster stats ------------------------------------
+        with timer.stage("cluster_stats"):
+            label_cap = 1 << max(6, (max(num_clusters, 1) - 1).bit_length())
+            centroids, cvalid, clabel, cnum, cmi = per_frame_cluster_stats(
+                points[:, :2], points[:, 2],
+                points[:, 3].astype(jnp.int32), labels, pvalid,
+                num_frames=f, label_cap=label_cap,
+                max_clusters=cfg.tracking.max_clusters_per_frame)
+
+        # ---- tracking ---------------------------------------------------
+        with timer.stage("tracking"):
+            state, records = track_sequence(
+                centroids, cvalid, jnp.asarray(ingested.frame_ids),
+                max_objects=cfg.tracking.max_objects,
+                history=cfg.tracking.motion_history_frames,
+                max_missed=cfg.tracking.max_missed_frames,
+                max_dist=cfg.tracking.max_association_distance,
+                stationary=cfg.tracking.stationary_velocity_threshold)
+            state = jax.tree_util.tree_map(np.asarray, state)
+            records = jax.tree_util.tree_map(np.asarray, records)
+
+        return TrackingResult(
+            ingested=ingested,
+            labels=np.asarray(labels)[:n_points],
+            points=np.asarray(points)[:n_points],
+            n_points=n_points,
+            num_clusters=num_clusters,
+            state=state,
+            records=records,
+            cluster_stats={
+                "centroids": np.asarray(centroids),
+                "valid": np.asarray(cvalid),
+                "label": np.asarray(clabel),
+                "num_points": np.asarray(cnum),
+                "mean_intensity": np.asarray(cmi),
+            },
+            land_cells=land_cells,
+            land_points_removed=removed,
+            timings=timer.report(),
+        )
+
+
+def run_tracking_pipeline(
+    data_dir: Path,
+    output_dir: Path,
+    max_frames: int = 0,
+    skip_land_filter: bool = False,
+    visualize: bool = True,
+    eps_space: float = 8.0,
+    eps_time: float = 2.0,
+    min_samples: int = 15,
+    intensity_threshold: float = 10.0,
+    point_stride: int = 4,
+    config: Optional[PipelineConfig] = None,
+    verbose: bool = True,
+) -> TrackingResult:
+    """Full tracker pipeline from a gain_XX directory tree to artifacts."""
+    config = config or PipelineConfig()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    pipe = TrackingPipeline(config, verbose=verbose)
+
+    pipe._log("=" * 60)
+    pipe._log("TEMPORAL OBJECT TRACKING PIPELINE (TPU)")
+    pipe._log("=" * 60)
+
+    pipe._log("\n[1/6] Discovering data files...")
+    files_by_gain = discover_files(Path(data_dir))
+    if not files_by_gain:
+        raise FileNotFoundError(f"No valid data files found in {data_dir}")
+    for gain, files in sorted(files_by_gain.items()):
+        pipe._log(f"  Gain {gain}: {len(files)} files")
+
+    pipe._log("\n[2/6] Grouping files into temporal frames...")
+    frame_files = group_files_by_frame(
+        files_by_gain, config.fusion.max_time_diff_ms)
+    pipe._log(f"  Found {len(frame_files)} frames")
+    if max_frames > 0:
+        frame_files = frame_files[:max_frames]
+
+    pipe._log("\n[3/6] Building point cloud frames (device conversion)...")
+    loader = FrameBatchLoader(
+        config, intensity_threshold=intensity_threshold,
+        point_stride=point_stride, verbose=verbose)
+    ingested = loader.load_sequence(frame_files)
+    total_points = int(jnp.sum(ingested.count))
+    pipe._log(f"  Built {ingested.num_frames} frames, {total_points:,} points")
+
+    pipe._log("\n[4/6] Land filtering...")
+    pipe._log("\n[5/6] + [6/6] Clustering and tracking...")
+    result = pipe.run_on_frames(
+        ingested, eps_space=eps_space, eps_time=eps_time,
+        min_samples=min_samples, skip_land_filter=skip_land_filter)
+
+    result.save_csvs(output_dir)
+    pipe._log(f"\nSaved CSV artifacts to {output_dir}")
+
+    if visualize:
+        from ..viz.tracking_plots import render_tracking_outputs
+
+        render_tracking_outputs(result, output_dir, config)
+
+    return result

@@ -1,0 +1,164 @@
+"""End-to-end tracker pipeline vs a CPU oracle composition (exact match)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import radar_point_cloud_tracking_tpu as rpt
+from radar_point_cloud_tracking_tpu.core.loaders import load_radar_table
+from radar_point_cloud_tracking_tpu.models.ingest import FrameBatchLoader
+from radar_point_cloud_tracking_tpu.models.tracker import (
+    TrackingPipeline,
+    run_tracking_pipeline,
+)
+from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
+    OracleTracker,
+    oracle_convert_sweep,
+    oracle_st_dbscan,
+)
+
+EPS_SPACE, EPS_TIME, MIN_SAMPLES = 8.0, 2.0, 5
+THRESHOLD, STRIDE = 10.0, 2
+
+
+def _oracle_pipeline(data_dir: Path, num_echo=64):
+    files_by_gain = rpt.discover_files(data_dir)
+    frame_files = rpt.group_files_by_frame(files_by_gain)
+    frames = []  # (frame_id, points (N,3), gains (N,))
+    for i, ff in enumerate(frame_files):
+        xs, ys, zs, gs = [], [], [], []
+        for gain in sorted(ff):
+            table = load_radar_table(ff[gain], num_echo)
+            if not table.shape[0]:
+                continue
+            angles = np.deg2rad(table[:, 4] * np.float32(360.0 / 8196.0))
+            x, y, z = oracle_convert_sweep(
+                table[:, 5:], angles, table[:, 1], THRESHOLD, STRIDE)
+            if len(x):
+                xs.append(x)
+                ys.append(y)
+                zs.append(z)
+                gs.append(np.full(len(x), gain))
+        if xs:
+            pts = np.column_stack([np.concatenate(xs), np.concatenate(ys),
+                                   np.concatenate(zs)])
+            frames.append((i, pts, np.concatenate(gs)))
+
+    coords = np.concatenate([p[:, :2] for _, p, _ in frames])
+    times = np.concatenate(
+        [np.full(len(p), fid, np.float32) for fid, p, _ in frames])
+    labels = oracle_st_dbscan(coords, times, EPS_SPACE, EPS_TIME, MIN_SAMPLES)
+
+    tracker = OracleTracker()
+    offset = 0
+    cluster_rows = []
+    for fid, pts, _ in frames:
+        n = len(pts)
+        fl = labels[offset:offset + n]
+        cents = []
+        for lbl in sorted(set(fl[fl >= 0])):
+            m = fl == lbl
+            c = pts[m, :2].mean(axis=0)
+            cents.append(c)
+            cluster_rows.append({
+                "frame_id": fid, "cluster_id": int(lbl),
+                "num_points": int(m.sum()),
+                "centroid_x": c[0], "centroid_y": c[1],
+                "mean_intensity": pts[m, 2].mean(),
+            })
+        tracker.update(np.asarray(cents).reshape(-1, 2), fid)
+        offset += n
+    return frames, labels, cluster_rows, tracker
+
+
+@pytest.fixture
+def device_result(gain_dataset):
+    files_by_gain = rpt.discover_files(gain_dataset)
+    frame_files = rpt.group_files_by_frame(files_by_gain)
+    loader = FrameBatchLoader(intensity_threshold=THRESHOLD,
+                              point_stride=STRIDE, verbose=False,
+                              frame_capacity=4096)
+    loader.config.radar.num_echo_columns = 64
+    ingested = loader.load_sequence(frame_files)
+    pipe = TrackingPipeline(verbose=False)
+    return pipe.run_on_frames(ingested, eps_space=EPS_SPACE,
+                              eps_time=EPS_TIME, min_samples=MIN_SAMPLES)
+
+
+def test_frame_grouping(gain_dataset):
+    files_by_gain = rpt.discover_files(gain_dataset)
+    assert set(files_by_gain) == {40, 50, 75}
+    frames = rpt.group_files_by_frame(files_by_gain)
+    assert len(frames) == 4
+    assert all(len(ff) == 3 for ff in frames)
+
+
+def test_ingest_matches_oracle_conversion(gain_dataset):
+    oracle_frames, _, _, _ = _oracle_pipeline(gain_dataset)
+    files_by_gain = rpt.discover_files(gain_dataset)
+    frame_files = rpt.group_files_by_frame(files_by_gain)
+    loader = FrameBatchLoader(intensity_threshold=THRESHOLD,
+                              point_stride=STRIDE, verbose=False,
+                              frame_capacity=4096)
+    loader.config.radar.num_echo_columns = 64
+    ingested = loader.load_sequence(frame_files)
+    assert ingested.num_frames == len(oracle_frames)
+    for fi, (fid, pts, gains) in enumerate(oracle_frames):
+        n = int(ingested.count[fi])
+        assert n == len(pts)
+        got = np.asarray(ingested.xyi[fi])[:n]
+        np.testing.assert_allclose(got[:, 0], pts[:, 0], rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(got[:, 1], pts[:, 1], rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(got[:, 2], pts[:, 2])
+        np.testing.assert_array_equal(
+            np.asarray(ingested.gain[fi])[:n], gains)
+
+
+def test_cluster_labels_exact_match(gain_dataset, device_result):
+    _, oracle_labels, _, _ = _oracle_pipeline(gain_dataset)
+    np.testing.assert_array_equal(device_result.labels, oracle_labels)
+
+
+def test_cluster_stats_match(gain_dataset, device_result):
+    _, _, oracle_rows, _ = _oracle_pipeline(gain_dataset)
+    got_rows = device_result.cluster_rows()
+    assert len(got_rows) == len(oracle_rows)
+    for g, w in zip(got_rows, oracle_rows):
+        assert g["frame_id"] == w["frame_id"]
+        assert g["cluster_id"] == w["cluster_id"]
+        assert g["num_points"] == w["num_points"]
+        assert abs(g["centroid_x"] - w["centroid_x"]) < 1e-3
+        assert abs(g["mean_intensity"] - w["mean_intensity"]) < 1e-2
+
+
+def test_tracked_objects_match(gain_dataset, device_result):
+    _, _, _, oracle_tracker = _oracle_pipeline(gain_dataset)
+    got = device_result.objects_rows()
+    want = sorted(oracle_tracker.summary(), key=lambda r: r["object_id"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["object_id"] == w["object_id"]
+        assert g["object_type"] == w["object_type"]
+        assert g["num_frames_seen"] == w["num_frames_seen"]
+        assert abs(g["final_x"] - w["final_x"]) < 1e-3
+
+
+def test_full_pipeline_writes_artifacts(gain_dataset, tmp_path):
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.radar.num_echo_columns = 64
+    out = tmp_path / "results"
+    result = run_tracking_pipeline(
+        gain_dataset, out, eps_space=EPS_SPACE, eps_time=EPS_TIME,
+        min_samples=MIN_SAMPLES, intensity_threshold=THRESHOLD,
+        point_stride=STRIDE, config=cfg, verbose=False, visualize=False)
+    assert (out / "tracked_objects.csv").exists()
+    assert (out / "trajectories.csv").exists()
+    assert (out / "clusters.csv").exists()
+    import pandas as pd
+
+    traj = pd.read_csv(out / "trajectories.csv")
+    assert set(traj.columns) == {"object_id", "object_type", "frame_id", "x", "y"}
+    assert len(traj) > 0
