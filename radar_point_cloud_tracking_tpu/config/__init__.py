@@ -153,4 +153,5 @@ class PipelineConfig(BaseModel):
         import yaml
 
         with Path(path).open("w", encoding="utf-8") as fh:
-            yaml.dump(self.model_dump(), fh, default_flow_style=False)
+            yaml.dump(self.model_dump(mode="json"), fh,
+                      default_flow_style=False)

@@ -1,0 +1,233 @@
+"""ST-DBSCAN denoising pipeline (TPU).
+
+End-to-end equivalent of PointCloudWorkF/stdbscan_denoising_pipeline.py:
+862-1046 — discover -> group -> batched device conversion -> temporal
+ST-DBSCAN with the min_frames persistence core test -> noise statistics ->
+binary PLYs + CSVs + plots/GIF.  Clustering uses the denoiser's scan-order
+border semantics ("if_earlier", see ops/stdbscan.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..core.writers import write_ply_arrays
+from ..ops.cluster_stats import per_frame_cluster_stats
+from ..ops.colors import label_palette_tab20
+from ..ops.geometry import compact_masked
+from ..ops.stdbscan import st_dbscan_device
+from ..utils.profiling import StageTimer
+from ..utils.timestamps import discover_files, group_files_by_frame
+from .ingest import FrameBatchLoader, IngestedFrames
+
+__all__ = ["DenoiseResult", "run_denoising_pipeline"]
+
+
+@dataclass
+class DenoiseResult:
+    points: np.ndarray  # (N, 6) x, y, intensity, frame_local, frame_id, gain
+    labels: np.ndarray  # (N,)
+    n_points: int
+    num_clusters: int
+    stats: Dict[str, float]
+    cluster_table: List[dict]
+    frame_ids: np.ndarray
+    timings: Dict[str, float] = field(default_factory=dict)
+
+    @property
+    def signal_mask(self) -> np.ndarray:
+        return self.labels >= 0
+
+
+def _global_cluster_table(points, intensity, labels, valid, num_clusters):
+    """Global per-cluster stats (clusters.csv of the denoiser,
+    stdbscan_denoising_pipeline.py:998-1013)."""
+    label_cap = 1 << max(4, (max(num_clusters, 1) - 1).bit_length())
+    cents, cvalid, clabel, cnum, cmi = per_frame_cluster_stats(
+        points, intensity, jnp.zeros(points.shape[0], jnp.int32), labels,
+        valid, num_frames=1, label_cap=label_cap,
+        max_clusters=min(label_cap, 4096))
+    rows = []
+    cvalid = np.asarray(cvalid)[0]
+    clabel = np.asarray(clabel)[0]
+    cnum = np.asarray(cnum)[0]
+    cents = np.asarray(cents)[0]
+    cmi = np.asarray(cmi)[0]
+    for k in range(len(cvalid)):
+        if cvalid[k]:
+            rows.append({
+                "cluster_id": int(clabel[k]),
+                "num_points": int(cnum[k]),
+                "centroid_x": float(cents[k, 0]),
+                "centroid_y": float(cents[k, 1]),
+                "mean_intensity": float(cmi[k]),
+            })
+    return rows
+
+
+def denoise_frames(
+    ingested: IngestedFrames,
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    min_frames: int,
+    config: Optional[PipelineConfig] = None,
+    verbose: bool = True,
+) -> DenoiseResult:
+    """Cluster an ingested sequence with temporal-persistence denoising."""
+    cfg = config or PipelineConfig()
+    timer = StageTimer(verbose=verbose)
+    f, c = ingested.num_frames, ingested.capacity
+
+    with timer.stage("repack"):
+        valid = ingested.valid_mask()
+        local = jnp.broadcast_to(
+            jnp.arange(f, dtype=jnp.float32)[:, None], (f, c))
+        fid = jnp.broadcast_to(
+            jnp.asarray(ingested.frame_ids, jnp.float32)[:, None], (f, c))
+        vals = jnp.concatenate([
+            ingested.xyi, local[..., None], fid[..., None],
+            ingested.gain.astype(jnp.float32)[..., None],
+        ], axis=-1).reshape(f * c, 6)
+        total = int(jnp.sum(ingested.count))
+        capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
+        points, n_points = compact_masked(vals, valid.reshape(f * c), capacity)
+        n_points = int(n_points)
+
+    with timer.stage("st_dbscan"):
+        pvalid = jnp.arange(capacity) < n_points
+        # the denoiser's time axis is the frame position in the grouped list
+        # (stdbscan_denoising_pipeline.py:933-939)
+        labels, num_clusters = st_dbscan_device(
+            points[:, :2], points[:, 4], pvalid,
+            eps_space, eps_time, min_samples,
+            min_frames=min_frames, border_mode="if_earlier",
+            tile=cfg.clustering.tile_size,
+            max_sweeps=cfg.clustering.max_label_sweeps)
+        num_clusters = int(num_clusters)
+
+    with timer.stage("stats"):
+        sig = int(jnp.sum((labels >= 0) & pvalid))
+        noise = n_points - sig
+        stats = {
+            "total_points": n_points,
+            "noise_points": noise,
+            "signal_points": sig,
+            "num_clusters": num_clusters,
+            "noise_reduction_pct": 100.0 * noise / max(n_points, 1),
+        }
+        cluster_table = _global_cluster_table(
+            points[:, :2], points[:, 2], labels, pvalid, num_clusters)
+
+    return DenoiseResult(
+        points=np.asarray(points)[:n_points],
+        labels=np.asarray(labels)[:n_points],
+        n_points=n_points,
+        num_clusters=num_clusters,
+        stats=stats,
+        cluster_table=cluster_table,
+        frame_ids=ingested.frame_ids,
+        timings=timer.report(),
+    )
+
+
+def run_denoising_pipeline(
+    data_dir: Path,
+    output_dir: Path,
+    eps_space: float = 8.0,
+    eps_time: float = 2.0,
+    min_samples: int = 15,
+    min_frames: int = 2,
+    max_frames: int = 0,
+    no_viz: bool = False,
+    skip_gif: bool = True,
+    intensity_threshold: float = 10.0,
+    point_stride: int = 4,
+    config: Optional[PipelineConfig] = None,
+    verbose: bool = True,
+) -> DenoiseResult:
+    """Full denoising pipeline from a gain_XX tree to artifacts."""
+    cfg = config or PipelineConfig()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    def log(msg):
+        if verbose:
+            print(msg)
+
+    log("=" * 60)
+    log("ST-DBSCAN RADAR POINT CLOUD DENOISING PIPELINE (TPU)")
+    log("=" * 60)
+
+    log("\n[1/5] Discovering data files...")
+    gain_files = discover_files(Path(data_dir))
+    if not gain_files:
+        raise FileNotFoundError(f"No gain folders found in {data_dir}")
+    for gain, files in sorted(gain_files.items()):
+        log(f"  Gain {gain}: {len(files)} files")
+
+    log("\n[2/5] Grouping files into temporal frames...")
+    frames = group_files_by_frame(gain_files, cfg.fusion.max_time_diff_ms)
+    log(f"  Found {len(frames)} frames")
+    if max_frames > 0:
+        frames = frames[:max_frames]
+
+    log("\n[3/5] Converting radar data to point clouds (device)...")
+    loader = FrameBatchLoader(cfg, intensity_threshold=intensity_threshold,
+                              point_stride=point_stride, verbose=verbose)
+    ingested = loader.load_sequence(frames)
+    log(f"  Total points: {int(jnp.sum(ingested.count)):,}")
+
+    log("\n[4/5] Applying ST-DBSCAN clustering for denoising...")
+    log(f"  Parameters: eps_space={eps_space}, eps_time={eps_time}, "
+        f"min_samples={min_samples}, min_frames={min_frames}")
+    result = denoise_frames(ingested, eps_space, eps_time, min_samples,
+                            min_frames, cfg, verbose=verbose)
+    st = result.stats
+    log(f"    Total points:      {st['total_points']:,}")
+    log(f"    Noise (removed):   {st['noise_points']:,} "
+        f"({st['noise_reduction_pct']:.1f}%)")
+    log(f"    Signal (kept):     {st['signal_points']:,}")
+    log(f"    Clusters found:    {st['num_clusters']}")
+
+    log("\n[5/5] Saving results...")
+    sig = result.signal_mask
+    pts = result.points
+    # binary PLYs: denoised (tab20 per-cluster colors) + raw (intensity)
+    write_ply_arrays(
+        output_dir / "denoised_point_cloud.ply",
+        pts[sig, 0], pts[sig, 1], pts[sig, 2],
+        label_palette_tab20(result.labels[sig]), use_binary=True)
+    try:
+        import matplotlib.pyplot as plt
+
+        z_norm = np.clip(pts[:, 2] / 255.0, 0, 1)
+        raw_colors = (plt.cm.viridis(z_norm)[:, :3] * 255).astype(np.uint8)
+    except ModuleNotFoundError:  # pragma: no cover
+        raw_colors = None
+    write_ply_arrays(output_dir / "raw_point_cloud.ply",
+                     pts[:, 0], pts[:, 1], pts[:, 2], raw_colors,
+                     use_binary=True)
+
+    import pandas as pd
+
+    pd.DataFrame([st]).to_csv(output_dir / "denoising_stats.csv", index=False)
+    if result.cluster_table:
+        pd.DataFrame(result.cluster_table).to_csv(
+            output_dir / "clusters.csv", index=False)
+
+    if not no_viz:
+        from ..viz.denoise_plots import render_denoise_outputs
+
+        render_denoise_outputs(result, output_dir, skip_gif=skip_gif)
+
+    log("\nPIPELINE COMPLETE")
+    log(f"Results saved to: {output_dir}")
+    return result
