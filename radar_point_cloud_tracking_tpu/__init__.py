@@ -12,6 +12,23 @@ over a TPU device mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the tunneled TPU compiler costs tens of
+# seconds per program, the cache brings warm starts down to ~1s.  Opt out
+# with RADAR_TPU_NO_COMPILE_CACHE=1.
+if _os.environ.get("RADAR_TPU_NO_COMPILE_CACHE", "0") != "1":
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RADAR_TPU_COMPILE_CACHE",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - older jax without the option
+        pass
+
 from .config import (  # noqa: F401
     ClusteringConfig,
     DeviceConfig,

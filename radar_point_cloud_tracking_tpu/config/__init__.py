@@ -101,9 +101,10 @@ class TrackingConfig(BaseModel):
     max_missed_frames: int = 10
     stationary_velocity_threshold: float = 1.0  # m/frame
     motion_history_frames: int = 5
-    # static device capacities
-    max_objects: int = 256
-    max_clusters_per_frame: int = 128
+    # static device capacities (also the Hungarian problem size — keep
+    # modest: the solver's sequential augmenting loop scales with capacity)
+    max_objects: int = 64
+    max_clusters_per_frame: int = 64
 
 
 class FusionConfig(BaseModel):

@@ -150,41 +150,104 @@ class FrameBatchLoader:
                       f"(raise frame_capacity)", file=sys.stderr)
         return packed[:, :3], packed[:, 3].astype(jnp.int32), total
 
-    # -- sequence ---------------------------------------------------------
+    # -- chunked sequence -------------------------------------------------
+    def _convert_chunk(self, chunk_tables, rows):
+        """One device dispatch for several frames: conversion over the
+        (frames*gains) sweep axis + batched per-frame repack."""
+        num_bins = self.config.radar.num_echo_columns
+        nf = len(chunk_tables)
+        g = len(chunk_tables[0])
+        b = nf * g
+        echo = np.zeros((b, rows, num_bins), np.float32)
+        angles = np.zeros((b, rows), np.float32)
+        scale = np.zeros((b, rows), np.float32)
+        row_valid = np.zeros((b, rows), bool)
+        gains = np.zeros((b,), np.int32)
+        for fi, tables in enumerate(chunk_tables):
+            for si, (gain, table) in enumerate(tables):
+                i = fi * g + si
+                r = table.shape[0]
+                echo[i, :r] = table[:, 5:]
+                angles[i, :r] = np.deg2rad(
+                    table[:, 4] * np.float32(self.config.radar.angle_scale))
+                scale[i, :r] = table[:, 1]
+                row_valid[i, :r] = True
+                gains[i] = gain
+
+        cap_sweep = -(-rows * num_bins // max(self.stride, 1))
+        cap_sweep = int(-(-cap_sweep // 8) * 8)
+        xyz, counts = convert_sweeps_batched(
+            jnp.asarray(echo), jnp.asarray(angles), jnp.asarray(scale),
+            jnp.asarray(row_valid), jnp.float32(self.threshold),
+            self.stride, cap_sweep, num_bins)
+        gcol = jnp.broadcast_to(
+            jnp.asarray(gains, jnp.float32)[:, None, None], (b, cap_sweep, 1))
+        vals = jnp.concatenate([xyz, gcol], axis=-1)
+        packed, totals = jax.vmap(
+            lambda v, c: repack_padded(v, c, self.frame_capacity)
+        )(vals.reshape(nf, g, cap_sweep, 4), counts.reshape(nf, g))
+        return packed[..., :3], packed[..., 3].astype(jnp.int32), totals
+
     def load_sequence(
         self,
         frame_files_list: Sequence[Dict[int, Path]],
         progress_every: int = 50,
+        chunk_frames: int = 8,
     ) -> IngestedFrames:
         """Convert a grouped frame sequence (skipping empty frames, keeping
-        original frame ids like the reference enumeration at :941-944)."""
-        xyi_list, gain_list, count_list = [], [], []
+        original frame ids like the reference enumeration at :941-944).
+
+        Frames are batched into multi-frame device dispatches; a chunk
+        flushes early when the sweep shape (gain count or row bucket)
+        changes, so programs stay uniform and cached.
+        """
+        xyi_parts, gain_parts, count_parts = [], [], []
         frame_ids, ts_list = [], []
+        pending: list = []  # (frame_idx, ts, tables)
+        pending_shape = None
+
+        def flush():
+            nonlocal pending, pending_shape
+            if not pending:
+                return
+            rows = pending_shape[1]
+            xyi, gain, totals = self._convert_chunk(
+                [t for _, _, t in pending], rows)
+            xyi_parts.append(xyi)
+            gain_parts.append(gain)
+            count_parts.append(totals)
+            for idx, ts, _ in pending:
+                frame_ids.append(idx)
+                ts_list.append(ts)
+            pending = []
+            pending_shape = None
+
         for i, ff in enumerate(frame_files_list):
             tables = self.load_frame_tables(ff)
-            out = self.convert_frame(tables)
-            if out is None:
+            if not tables:
                 continue
-            xyi, gain, count = out
-            xyi_list.append(xyi)
-            gain_list.append(gain)
-            count_list.append(count)
-            frame_ids.append(i)
+            rows = _bucket(max(t.shape[0] for _, t in tables))
+            shape = (len(tables), rows)
             first = sorted(ff)[0]
             try:
                 _, ts_ms = parse_timestamp(ff[first].name)
             except ValueError:
                 ts_ms = 0
-            ts_list.append(ts_ms)
+            if pending_shape is not None and (shape != pending_shape
+                                              or len(pending) >= chunk_frames):
+                flush()
+            pending_shape = shape
+            pending.append((i, ts_ms, tables))
             if self.verbose and (i + 1) % progress_every == 0:
                 print(f"  Processed {i + 1}/{len(frame_files_list)} frames...")
+        flush()
 
-        if not xyi_list:
+        if not xyi_parts:
             raise ValueError("No frames produced any points")
         return IngestedFrames(
-            xyi=jnp.stack(xyi_list),
-            gain=jnp.stack(gain_list),
-            count=jnp.stack(count_list),
+            xyi=jnp.concatenate(xyi_parts),
+            gain=jnp.concatenate(gain_parts),
+            count=jnp.concatenate(count_parts),
             frame_ids=np.asarray(frame_ids, np.int32),
             timestamps_ms=np.asarray(ts_list, np.int64),
         )

@@ -147,6 +147,15 @@ class TrackingResult:
         ]).to_csv(output_dir / "clusters.csv", index=False)
 
 
+@jax.jit
+def _bounds(flat_xy, flat_valid):
+    x = jnp.where(flat_valid, flat_xy[:, 0], jnp.inf)
+    y = jnp.where(flat_valid, flat_xy[:, 1], jnp.inf)
+    xm = jnp.where(flat_valid, flat_xy[:, 0], -jnp.inf)
+    ym = jnp.where(flat_valid, flat_xy[:, 1], -jnp.inf)
+    return jnp.stack([jnp.min(x), jnp.min(y), jnp.max(xm), jnp.max(ym)])
+
+
 @functools.partial(jax.jit, static_argnames=("nx", "ny"))
 def _land_keep(flat_xy, flat_int, flat_valid, x_edges, y_edges, nx, ny,
                num_frames, persistence, min_intensity):
@@ -211,14 +220,8 @@ class TrackingPipeline:
         lf = cfg.land_filter
         if not skip_land_filter and f > lf.min_frames_required:
             with timer.stage("land_filter"):
-                xs = np.asarray(
-                    jnp.where(flat_valid, flat_xy[:, 0], jnp.inf))
-                ys = np.asarray(
-                    jnp.where(flat_valid, flat_xy[:, 1], jnp.inf))
-                x_min = float(np.min(xs))
-                y_min = float(np.min(ys))
-                x_max = float(np.max(np.where(np.isfinite(xs), xs, -np.inf)))
-                y_max = float(np.max(np.where(np.isfinite(ys), ys, -np.inf)))
+                bounds = _bounds(flat_xy, flat_valid)  # device reduce, 4 scalars
+                x_min, y_min, x_max, y_max = [float(b) for b in bounds]
                 x_edges = grid_ops.make_edges(x_min, x_max, lf.grid_resolution_m)
                 y_edges = grid_ops.make_edges(y_min, y_max, lf.grid_resolution_m)
                 nx, ny = len(x_edges) - 1, len(y_edges) - 1
@@ -228,10 +231,11 @@ class TrackingPipeline:
                     jnp.asarray(y_edges, jnp.float32), nx, ny,
                     jnp.int32(f), jnp.float32(lf.persistence_threshold),
                     jnp.float32(lf.min_intensity))
-                land_cells = int(n_land)
-                removed = int(jnp.sum(flat_valid)) - int(jnp.sum(keep))
-                self._log(f"  Identified {land_cells} land cells; removed "
-                          f"{removed:,} land points")
+                if self.verbose:  # scalar syncs cost a tunnel round-trip
+                    land_cells = int(n_land)
+                    removed = int(jnp.sum(flat_valid)) - int(jnp.sum(keep))
+                    self._log(f"  Identified {land_cells} land cells; removed "
+                              f"{removed:,} land points")
         else:
             keep = flat_valid
             self._log("  Skipping land filter")

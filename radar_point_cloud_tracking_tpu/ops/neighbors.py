@@ -144,11 +144,16 @@ def build_spatial_index(
     eps_time: float,
     tile: int = 512,
     cell_size: Optional[float] = None,
+    k_pad: Optional[int] = None,
 ) -> SpatialIndex:
     """Build the sorted tile index + pruned candidate lists.
 
-    One host sync (the candidate-list width) per distinct data distribution;
-    K is bucketed to powers of two to bound recompilation.
+    Without ``k_pad``: one host sync (the candidate-list width) per distinct
+    data distribution; K is bucketed to powers of two to bound
+    recompilation.  With a static ``k_pad`` the build is fully traceable
+    (required inside shard_map for the multi-chip path); candidates beyond
+    k_pad would be silently dropped, so callers pass k_pad >= worst case
+    (num_tiles is always safe).
     """
     if cell_size is None:
         cell_size = eps_space
@@ -159,11 +164,14 @@ def build_spatial_index(
         jnp.asarray(valid), jnp.float32(cell_size), num_tiles, tile)
     mask = _tile_pair_mask(lo, hi, tlo, thi, jnp.float32(eps_space),
                            jnp.float32(eps_time))
-    k_max = int(jnp.max(jnp.sum(mask, axis=1)))  # host sync (tiny array)
-    k_pad = 1
-    while k_pad < max(k_max, 1):
-        k_pad *= 2
-    k_pad = min(k_pad, num_tiles)
+    if k_pad is None:
+        k_max = int(jnp.max(jnp.sum(mask, axis=1)))  # host sync (tiny array)
+        k_pad = 1
+        while k_pad < max(k_max, 1):
+            k_pad *= 2
+        k_pad = min(k_pad, num_tiles)
+    else:
+        k_pad = min(k_pad, num_tiles)
     cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
                         perm=perm, cand_idx=cand_idx, cand_count=cand_count)

@@ -31,6 +31,7 @@ reduce to a thresholded min-sweep here.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Tuple
 
@@ -172,16 +173,49 @@ def st_dbscan_device(
     """
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size)
-    es = jnp.float32(eps_space)
-    et = jnp.float32(eps_time)
+    n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
+    return cluster_index(
+        index, jnp.float32(eps_space), jnp.float32(eps_time),
+        int(min_samples), int(min_frames), n_offsets, border_mode,
+        int(max_sweeps))
 
-    core = compute_core_mask(index, eps_space, eps_time, min_samples,
-                             min_frames)
-    label = _init_labels(core)
-    for _ in range(max_sweeps):
-        label, changed = _cc_step(index, label, core, es, et)
-        if not bool(changed):  # host sync: one bool per round
-            break
+
+@functools.partial(jax.jit, static_argnames=("min_samples", "min_frames",
+                                             "n_offsets", "border_mode",
+                                             "max_sweeps"))
+def cluster_index(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    min_samples: int,
+    min_frames: int,
+    n_offsets: int,
+    border_mode: str,
+    max_sweeps: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cluster a built spatial index as one device program: the convergence
+    loop is a bounded ``lax.while_loop`` (zero host syncs — the only sync in
+    the whole clustering path is the candidate-width pull in the index
+    build)."""
+    degree, frame_count = neighbor_core_stats(
+        index, eps_space, eps_time, n_offsets=n_offsets)
+    core = index.valid & (degree >= jnp.int32(min_samples))
+    if min_frames > 1:
+        core = core & (frame_count >= jnp.int32(min_frames))
+
+    label0 = _init_labels(core)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_sweeps)
+
+    def body(state):
+        lbl, _, it = state
+        new, changed = _cc_step(index, lbl, core, eps_space, eps_time)
+        return new, changed, it + 1
+
+    label, _, _ = jax.lax.while_loop(cond, body,
+                                     (label0, jnp.bool_(True), jnp.int32(0)))
 
     comp_key, rank_lookup, num_clusters, perm2d = _finalize_keys(
         index, label, core)
@@ -191,13 +225,35 @@ def st_dbscan_device(
         # root core (initial seeds are enqueued unconditionally in the
         # reference BFS, stdbscan_denoising_pipeline.py:343-344)
         is_root = core & (comp_key == perm2d)
-        border_key = neighbor_min_sweep(index, comp_key, es, et,
+        border_key = neighbor_min_sweep(index, comp_key, eps_space, eps_time,
                                         query_limit=perm2d,
                                         bypass_limit=is_root, use_limit=True)
     else:
-        border_key = neighbor_min_sweep(index, comp_key, es, et)
+        border_key = neighbor_min_sweep(index, comp_key, eps_space, eps_time)
     labels = _assemble_labels(index, core, comp_key, border_key, rank_lookup)
     return labels, num_clusters
+
+
+def st_dbscan_traceable(
+    coords: jnp.ndarray,
+    times: jnp.ndarray,
+    valid: jnp.ndarray,
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    tile: int = 256,
+    max_sweeps: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully-jittable ST-DBSCAN ('always' border mode): static candidate
+    width (no host sync) and a bounded ``lax.while_loop`` for the label
+    propagation.  Used by fused single-program pipelines and the graft
+    entry; the host-driven :func:`st_dbscan_device` is preferred
+    interactively (adaptive K, early exit)."""
+    index = build_spatial_index(coords, times, valid, eps_space, eps_time,
+                                tile=tile, k_pad=1 << 30)
+    return cluster_index(index, jnp.float32(eps_space),
+                         jnp.float32(eps_time), int(min_samples), 1, 0,
+                         "always", int(max_sweeps))
 
 
 def st_dbscan(

@@ -1,0 +1,253 @@
+"""Multi-chip sharded pipeline step: frame-sharded fusion + land grid psum +
+halo-exchanged distributed ST-DBSCAN + replicated tracking.
+
+This is the framework's scaling path (the reference has no distributed
+runtime at all — SURVEY §2.6).  Design:
+
+- the frame axis shards over a 1D mesh; conversion/fusion need no
+  communication;
+- the persistence land grid is a per-shard scatter followed by one ``psum``
+  over ICI;
+- ST-DBSCAN exploits its own temporal locality (|t_i - t_j| <= eps_time):
+  each shard clusters its frames plus a +-eps_time frame halo exchanged with
+  neighbors via ``ppermute`` (the closest analog to context parallelism);
+  min-label propagation runs locally per sweep with halo label refresh +
+  global ``psum`` convergence checks, and labels carry *global* point
+  indices so canonical renumbering is a psum'd presence/rank table —
+  bit-identical cluster ids to the single-chip engine;
+- per-frame cluster centroids ``all_gather`` (tiny) and the sequential
+  tracker scan runs replicated on every device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.cluster_stats import per_frame_cluster_stats
+from ..ops.neighbors import INT_MAX, build_spatial_index, neighbor_core_stats, \
+    neighbor_min_sweep
+from ..ops.tracking import track_sequence
+from .mesh import FRAMES_AXIS
+
+__all__ = ["sharded_tracking_step"]
+
+
+def _send_right(x, axis_name, n):
+    """Shard i's value lands on shard i+1 (shard 0 receives zeros)."""
+    return jax.lax.ppermute(x, axis_name,
+                            perm=[(i, i + 1) for i in range(n - 1)])
+
+
+def _send_left(x, axis_name, n):
+    """Shard i's value lands on shard i-1 (last shard receives zeros)."""
+    return jax.lax.ppermute(x, axis_name,
+                            perm=[(i + 1, i) for i in range(n - 1)])
+
+
+def _with_halo(local, axis_name, n, k):
+    """Concatenate [left halo (k frames), local, right halo (k frames)]."""
+    left = _send_right(local[-k:], axis_name, n)
+    right = _send_left(local[:k], axis_name, n)
+    return jnp.concatenate([left, local, right], axis=0)
+
+
+def sharded_tracking_step(
+    mesh: Mesh,
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    grid_cells: Tuple[int, int] = (64, 64),
+    land_persistence: float = 0.8,
+    land_min_intensity: float = 100.0,
+    tile: int = 128,
+    max_sweeps: int = 16,
+    label_cap: int = 256,
+    max_clusters: int = 32,
+    max_objects: int = 64,
+    history: int = 5,
+    max_missed: int = 10,
+    max_dist: float = 50.0,
+    stationary: float = 1.0,
+):
+    """Build the jitted sharded step.
+
+    Returns ``step(xyi, count, frame_ids)`` where ``xyi`` is (F, C, 3)
+    sharded over frames; the step returns (labels (F, C) sharded,
+    final tracker state + records replicated).
+    """
+    n_dev = mesh.devices.size
+    halo_k = max(1, int(np.floor(eps_time)))
+    nx, ny = grid_cells
+
+    def body(xyi, count, frame_ids):
+        ax = FRAMES_AXIS
+        f_l, c, _ = xyi.shape
+        shard = jax.lax.axis_index(ax)
+
+        valid = jnp.arange(c)[None, :] < count[:, None]
+
+        # ---- land filter: local scatter + psum --------------------------
+        x = xyi[..., 0].reshape(-1)
+        y = xyi[..., 1].reshape(-1)
+        inten = xyi[..., 2].reshape(-1)
+        v = valid.reshape(-1)
+        gx_min = jax.lax.pmin(jnp.min(jnp.where(v, x, jnp.inf)), ax)
+        gy_min = jax.lax.pmin(jnp.min(jnp.where(v, y, jnp.inf)), ax)
+        gx_max = jax.lax.pmax(jnp.max(jnp.where(v, x, -jnp.inf)), ax)
+        gy_max = jax.lax.pmax(jnp.max(jnp.where(v, y, -jnp.inf)), ax)
+        res_x = (gx_max - gx_min) / nx + 1e-6
+        res_y = (gy_max - gy_min) / ny + 1e-6
+        xi = jnp.clip(((x - gx_min) / res_x).astype(jnp.int32), 0, nx - 1)
+        yi = jnp.clip(((y - gy_min) / res_y).astype(jnp.int32), 0, ny - 1)
+        cell = jnp.where(v, xi * ny + yi, nx * ny)
+        cnt = jnp.zeros((nx * ny + 1,), jnp.int32).at[cell].add(
+            v.astype(jnp.int32), mode="drop")
+        isum = jnp.zeros((nx * ny + 1,), jnp.float32).at[cell].add(
+            jnp.where(v, inten, 0.0), mode="drop")
+        cnt = jax.lax.psum(cnt, ax)
+        isum = jax.lax.psum(isum, ax)
+        num_frames_g = jax.lax.psum(jnp.int32(f_l), ax)
+        persistence = cnt[:-1] / jnp.maximum(num_frames_g, 1)
+        avg_i = jnp.where(cnt[:-1] > 0, isum[:-1] / cnt[:-1], 0.0)
+        land = (persistence >= land_persistence) & (avg_i >= land_min_intensity)
+        keep = v & ~land[jnp.clip(cell, 0, nx * ny - 1)]
+        valid = keep.reshape(f_l, c)
+
+        # ---- halo exchange of points ------------------------------------
+        halo_xyi = _with_halo(xyi, ax, n_dev, halo_k)
+        halo_valid = _with_halo(valid, ax, n_dev, halo_k)
+        halo_fids = _with_halo(frame_ids[:, None].astype(jnp.float32),
+                               ax, n_dev, halo_k)[:, 0]
+        # zero-filled halos at the mesh edges are invalid
+        edge_l = (shard == 0)
+        edge_r = (shard == n_dev - 1)
+        fmask = jnp.ones((f_l + 2 * halo_k,), bool)
+        fmask = fmask.at[:halo_k].set(~edge_l)
+        fmask = fmask.at[-halo_k:].set(~edge_r)
+        halo_valid = halo_valid & fmask[:, None]
+
+        ft = f_l + 2 * halo_k
+        coords = halo_xyi[..., :2].reshape(ft * c, 2)
+        times = jnp.broadcast_to(halo_fids[:, None], (ft, c)).reshape(-1)
+        pvalid = halo_valid.reshape(-1)
+
+        # global point index (frame-major over the global padded layout)
+        gframe = (shard * f_l - halo_k
+                  + jnp.arange(ft, dtype=jnp.int32))
+        gidx = (gframe[:, None] * c
+                + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
+
+        index = build_spatial_index(coords, times, pvalid, eps_space,
+                                    eps_time, tile=tile, k_pad=1 << 30)
+        es = jnp.float32(eps_space)
+        et = jnp.float32(eps_time)
+
+        # ---- core mask: local compute + halo exchange -------------------
+        degree, _ = neighbor_core_stats(index, es, et, n_offsets=0)
+        core_sorted = index.valid & (degree >= min_samples)
+        # unsort to the (ft, c) layout
+        nt = index.num_tiles * index.tile
+        core_flat = jnp.zeros((ft * c,), bool).at[index.perm].set(
+            core_sorted.reshape(-1)[:ft * c])
+        core_frames = core_flat.reshape(ft, c)
+        # owner-computed core flags for our own frames; halo flags refreshed
+        local_core = core_frames[halo_k:halo_k + f_l]
+        halo_core = _with_halo(local_core, ax, n_dev, halo_k)
+        halo_core = halo_core & fmask[:, None] & halo_valid
+        core_all = halo_core.reshape(-1)
+
+        # ---- distributed min-label propagation --------------------------
+        label0 = jnp.where(core_all, gidx, INT_MAX)
+
+        def to_sorted(flat):
+            s = flat[index.perm]
+            if nt > ft * c:
+                s = jnp.concatenate(
+                    [s, jnp.full((nt - ft * c,), INT_MAX, flat.dtype)])
+            return s.reshape(index.num_tiles, index.tile)
+
+        def from_sorted(sorted2d):
+            return jnp.zeros((ft * c,), sorted2d.dtype).at[index.perm].set(
+                sorted2d.reshape(-1)[:ft * c])
+
+        def sweep_min(flat_labels):
+            payload = to_sorted(jnp.where(core_all, flat_labels, INT_MAX))
+            nbr = neighbor_min_sweep(index, payload, es, et)
+            return from_sorted(nbr)
+
+        def loop_body(state):
+            lbl, _, it = state
+            nbr = sweep_min(lbl)
+            new_local = jnp.minimum(lbl, nbr).reshape(ft, c)[
+                halo_k:halo_k + f_l]
+            # owners re-broadcast fresh labels into neighbors' halos
+            refreshed = _with_halo(new_local, ax, n_dev, halo_k)
+            refreshed = jnp.where(halo_valid, refreshed, INT_MAX)
+            new = jnp.where(core_all, refreshed.reshape(-1), INT_MAX)
+            changed = jax.lax.psum(
+                jnp.any(new != lbl).astype(jnp.int32), ax) > 0
+            return new, changed, it + 1
+
+        def loop_cond(state):
+            _, changed, it = state
+            return changed & (it < max_sweeps)
+
+        label, _, _ = jax.lax.while_loop(
+            loop_cond, loop_body, (label0, jnp.bool_(True), jnp.int32(0)))
+
+        # ---- canonical ranks (global) -----------------------------------
+        n_global = jax.lax.psum(jnp.int32(f_l), ax) * c
+        size = n_dev * f_l * c + 1  # static bound for n_global + 1
+        local_mask = jnp.zeros((ft, c), bool).at[halo_k:halo_k + f_l].set(
+            True).reshape(-1)
+        presence = jnp.zeros((size,), jnp.int32).at[
+            jnp.clip(jnp.where(local_mask & core_all, label, size - 1),
+                     0, size - 1)].max(
+            jnp.where(local_mask & core_all, 1, 0), mode="drop")
+        # psum adds one count per shard holding the component; clamp back to
+        # 0/1 before ranking
+        presence = jnp.minimum(jax.lax.psum(presence, ax), 1)
+        rank = jnp.cumsum(presence) - 1
+        num_clusters = rank[size - 1] + 1 - presence[size - 1]
+
+        # ---- border attachment ------------------------------------------
+        border_key = sweep_min(label)  # min comp key over core neighbors
+        final_flat = jnp.where(
+            core_all, rank[jnp.clip(label, 0, size - 1)],
+            jnp.where(pvalid & (border_key < INT_MAX),
+                      rank[jnp.clip(border_key, 0, size - 1)], -1))
+        labels_local = final_flat.reshape(ft, c)[halo_k:halo_k + f_l]
+
+        # ---- per-frame cluster stats + gather ---------------------------
+        lxy = xyi[..., :2].reshape(f_l * c, 2)
+        lint = xyi[..., 2].reshape(-1)
+        lframe = jnp.broadcast_to(
+            jnp.arange(f_l, dtype=jnp.int32)[:, None], (f_l, c)).reshape(-1)
+        cents, cvalid, _, _, _ = per_frame_cluster_stats(
+            lxy, lint, lframe, labels_local.reshape(-1), valid.reshape(-1),
+            num_frames=f_l, label_cap=label_cap, max_clusters=max_clusters)
+
+        cents_g = jax.lax.all_gather(cents, ax, axis=0, tiled=True)
+        cvalid_g = jax.lax.all_gather(cvalid, ax, axis=0, tiled=True)
+        fids_g = jax.lax.all_gather(frame_ids, ax, axis=0, tiled=True)
+
+        # ---- replicated tracker scan ------------------------------------
+        state, records = track_sequence(
+            cents_g, cvalid_g, fids_g, max_objects=max_objects,
+            history=history, max_missed=max_missed, max_dist=max_dist,
+            stationary=stationary)
+        return labels_local, num_clusters, state, records
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS), P(FRAMES_AXIS)),
+        out_specs=(P(FRAMES_AXIS), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
