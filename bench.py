@@ -144,6 +144,15 @@ def run_tpu_pipeline(data_dir: Path, out_dir: Path):
 
 def main():
     num_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+
+    # pay the tunnel's once-per-process device<->host handshake up front so
+    # it doesn't pollute stage measurements
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones(8))
+    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+
     with tempfile.TemporaryDirectory() as tmp:
         data_dir = _generate(num_frames, tmp)
 
