@@ -116,6 +116,9 @@ def generate_scene_dataset(out_dir: Path, cfg: SceneConfig) -> Path:
             nb = rng.integers(0, cfg.num_bins, n_noise)
             echo[nr, nb] = rng.uniform(15, 80, n_noise)
 
+            # quantize to the radar's integer echo range
+            echo = np.clip(np.round(echo), 0, 255).astype(np.float32)
+
             # render CSV
             sec = f * cfg.frame_period_s
             ts = f"20250813_14{sec // 60:02d}{sec % 60:02d}_{(gi * 100):03d}"
@@ -132,6 +135,13 @@ def _write_sweep_csv(path, header, echo, angle_units, cfg, gain):
     meta[:, 3] = gain
     meta[:, 4] = angle_units
     table = np.concatenate([meta, echo], axis=1)
+    int_table = table.astype(np.int64)
     with Path(path).open("w", encoding="utf-8") as fh:
         fh.write(header + "\n")
-        np.savetxt(fh, table, fmt="%g", delimiter=",")
+        if np.array_equal(int_table, table) and float(cfg.scale_m).is_integer():
+            # integral data: pandas' C writer is ~10x faster than savetxt
+            import pandas as pd
+
+            pd.DataFrame(int_table).to_csv(fh, header=False, index=False)
+        else:
+            np.savetxt(fh, table, fmt="%g", delimiter=",")
