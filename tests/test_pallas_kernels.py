@@ -1,0 +1,68 @@
+"""Pallas neighbor kernels vs the XLA-composed engine (interpret mode on
+CPU; the same code compiles with Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radar_point_cloud_tracking_tpu.ops.neighbors import (
+    INT_MAX,
+    build_spatial_index,
+    neighbor_core_stats,
+    neighbor_min_sweep,
+)
+from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+    core_stats_pallas,
+    min_sweep_pallas,
+)
+
+
+def _index(n=300, d=2, seed=0, tile=64):
+    rng = np.random.default_rng(seed)
+    coords = (rng.random((n, d)) * 50).astype(np.float32)
+    times = rng.integers(0, 4, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-7:] = False
+    return build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                               jnp.asarray(valid), 4.0, 1.0, tile=tile)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_core_stats_matches_xla(d):
+    idx = _index(d=d)
+    es, et = jnp.float32(4.0), jnp.float32(1.0)
+    deg_x, fc_x = neighbor_core_stats(idx, es, et, n_offsets=1)
+    deg_p, fc_p = core_stats_pallas(idx, es, et, n_offsets=1)
+    np.testing.assert_array_equal(np.asarray(deg_p), np.asarray(deg_x))
+    np.testing.assert_array_equal(np.asarray(fc_p), np.asarray(fc_x))
+
+
+def test_min_sweep_matches_xla():
+    idx = _index()
+    es, et = jnp.float32(4.0), jnp.float32(1.0)
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 1000, idx.coords.shape[:2]).astype(np.int32)
+    payload[rng.random(payload.shape) < 0.5] = INT_MAX
+    pay = jnp.asarray(payload)
+    out_x = neighbor_min_sweep(idx, pay, es, et)
+    out_p = min_sweep_pallas(idx, pay, es, et)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_min_sweep_with_limit_matches_xla():
+    idx = _index(seed=2)
+    es, et = jnp.float32(4.0), jnp.float32(1.0)
+    rng = np.random.default_rng(3)
+    shape = idx.coords.shape[:2]
+    payload = rng.integers(0, 500, shape).astype(np.int32)
+    qlim = rng.integers(0, 500, shape).astype(np.int32)
+    byp = rng.random(shape) < 0.2
+    out_x = neighbor_min_sweep(idx, jnp.asarray(payload), es, et,
+                               query_limit=jnp.asarray(qlim),
+                               bypass_limit=jnp.asarray(byp),
+                               use_limit=True)
+    out_p = min_sweep_pallas(idx, jnp.asarray(payload), es, et,
+                             query_limit=jnp.asarray(qlim),
+                             bypass_limit=jnp.asarray(byp),
+                             use_limit=True)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
