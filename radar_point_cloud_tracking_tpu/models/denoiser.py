@@ -110,7 +110,9 @@ def denoise_frames(
             eps_space, eps_time, min_samples,
             min_frames=min_frames, border_mode="if_earlier",
             tile=cfg.clustering.tile_size,
-            max_sweeps=cfg.clustering.max_label_sweeps)
+            max_sweeps=cfg.clustering.max_label_sweeps,
+            use_pallas=(cfg.device.use_pallas
+                        and jax.default_backend() == "tpu"))
         num_clusters = int(num_clusters)
 
     with timer.stage("stats"):

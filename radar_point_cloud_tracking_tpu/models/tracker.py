@@ -251,12 +251,15 @@ class TrackingPipeline:
 
         with timer.stage("st_dbscan"):
             pvalid = jnp.arange(capacity) < n_points
+            use_pallas = (cfg.device.use_pallas
+                          and jax.default_backend() == "tpu")
             labels, num_clusters = st_dbscan_device(
                 points[:, :2], points[:, 4], pvalid,
                 eps_space, eps_time, min_samples,
                 min_frames=1, border_mode="always",
                 tile=cfg.clustering.tile_size,
-                max_sweeps=cfg.clustering.max_label_sweeps)
+                max_sweeps=cfg.clustering.max_label_sweeps,
+                use_pallas=use_pallas)
             num_clusters = int(num_clusters)
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 

@@ -8,8 +8,10 @@ stdbscan_denoising_pipeline.py:264-369); the Rust port merges with a CAS
 atomic union-find (radar-pipeline-rs clustering.rs:209-325).  TPUs have no
 CAS, so connected components are computed by synchronous min-label
 propagation over core-core edges with pointer jumping — O(log n) sweeps,
-fully deterministic.  The convergence loop lives on the host (one boolean
-sync per sweep) so each device program stays small and compiles once.
+fully deterministic, converging inside one bounded ``lax.while_loop`` on
+device.  The neighbor sweeps run either as XLA-composed programs
+(ops/neighbors.py) or as Pallas scalar-prefetch kernels
+(ops/pallas_neighbors.py) selected by ``use_pallas``.
 
 Exact-match argument (tests verify against the CPU oracle):
 - a cluster = connected component of core points under the symmetric
@@ -58,17 +60,19 @@ def _init_labels(core: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(core, slot, INT_MAX)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
 def _cc_step(
     index: SpatialIndex,
     label: jnp.ndarray,
     core: jnp.ndarray,
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One propagation round: neighbor-min sweep + two pointer jumps.
     Returns (new labels, changed?)."""
     n_sorted = label.size
+    sweep = _min_sweep_impl(use_pallas)
 
     def jump(lbl):
         flat = lbl.reshape(-1)
@@ -77,10 +81,26 @@ def _cc_step(
         return jnp.minimum(flat, jumped).reshape(lbl.shape)
 
     payload = jnp.where(core, label, INT_MAX)
-    nbr_min = neighbor_min_sweep(index, payload, eps_space, eps_time)
+    nbr_min = sweep(index, payload, eps_space, eps_time)
     new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
     new = jump(jump(new))
     return new, jnp.any(new != label)
+
+
+def _min_sweep_impl(use_pallas: bool):
+    if use_pallas:
+        from .pallas_neighbors import min_sweep_pallas
+
+        return min_sweep_pallas
+    return neighbor_min_sweep
+
+
+def _core_stats_impl(use_pallas: bool):
+    if use_pallas:
+        from .pallas_neighbors import core_stats_pallas
+
+        return core_stats_pallas
+    return neighbor_core_stats
 
 
 @jax.jit
@@ -166,10 +186,13 @@ def st_dbscan_device(
     tile: int = 512,
     cell_size: Optional[float] = None,
     max_sweeps: int = 256,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full device ST-DBSCAN over a padded point buffer.
 
-    Returns (labels (N,) int32 — noise/padding -1, num_clusters).
+    One host sync total (the candidate-width pull inside the index build);
+    the convergence loop runs on device.  Returns (labels (N,) int32 —
+    noise/padding -1, num_clusters).
     """
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size)
@@ -177,12 +200,12 @@ def st_dbscan_device(
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
         int(min_samples), int(min_frames), n_offsets, border_mode,
-        int(max_sweeps))
+        int(max_sweeps), use_pallas=bool(use_pallas))
 
 
 @functools.partial(jax.jit, static_argnames=("min_samples", "min_frames",
                                              "n_offsets", "border_mode",
-                                             "max_sweeps"))
+                                             "max_sweeps", "use_pallas"))
 def cluster_index(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
@@ -192,12 +215,13 @@ def cluster_index(
     n_offsets: int,
     border_mode: str,
     max_sweeps: int,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cluster a built spatial index as one device program: the convergence
     loop is a bounded ``lax.while_loop`` (zero host syncs — the only sync in
     the whole clustering path is the candidate-width pull in the index
     build)."""
-    degree, frame_count = neighbor_core_stats(
+    degree, frame_count = _core_stats_impl(use_pallas)(
         index, eps_space, eps_time, n_offsets=n_offsets)
     core = index.valid & (degree >= jnp.int32(min_samples))
     if min_frames > 1:
@@ -211,12 +235,14 @@ def cluster_index(
 
     def body(state):
         lbl, _, it = state
-        new, changed = _cc_step(index, lbl, core, eps_space, eps_time)
+        new, changed = _cc_step(index, lbl, core, eps_space, eps_time,
+                                use_pallas=use_pallas)
         return new, changed, it + 1
 
     label, _, _ = jax.lax.while_loop(cond, body,
                                      (label0, jnp.bool_(True), jnp.int32(0)))
 
+    sweep = _min_sweep_impl(use_pallas)
     comp_key, rank_lookup, num_clusters, perm2d = _finalize_keys(
         index, label, core)
     if border_mode == "if_earlier":
@@ -225,11 +251,11 @@ def cluster_index(
         # root core (initial seeds are enqueued unconditionally in the
         # reference BFS, stdbscan_denoising_pipeline.py:343-344)
         is_root = core & (comp_key == perm2d)
-        border_key = neighbor_min_sweep(index, comp_key, eps_space, eps_time,
-                                        query_limit=perm2d,
-                                        bypass_limit=is_root, use_limit=True)
+        border_key = sweep(index, comp_key, eps_space, eps_time,
+                           query_limit=perm2d,
+                           bypass_limit=is_root, use_limit=True)
     else:
-        border_key = neighbor_min_sweep(index, comp_key, eps_space, eps_time)
+        border_key = sweep(index, comp_key, eps_space, eps_time)
     labels = _assemble_labels(index, core, comp_key, border_key, rank_lookup)
     return labels, num_clusters
 
