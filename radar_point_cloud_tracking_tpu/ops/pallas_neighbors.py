@@ -46,28 +46,28 @@ def _pair_mask_block(xq, yq, zq, xc, yc, zc, tq, tc, vq, vc, eps2, eps_t):
 
 def _make_min_kernel(has_z: bool, use_limit: bool):
     def kernel(cand_ref, count_ref, *refs):
-        # tensor refs layout (all blocks (1, T) unless noted):
+        # tensor refs layout (all blocks (1, 1, T) unless noted):
         #   queries: x, y, [z], t, v, [qlim]
         #   candidates: x, y, [z], t, v, payload, [bypass]
         #   scalars: eps2, eps_t  (1, 1) SMEM
-        #   out: (1, T) int32
+        #   out: (1, 1, T) int32
         i = 0
-        xq = refs[i][0]; i += 1
-        yq = refs[i][0]; i += 1
-        zq = refs[i][0] if has_z else None
+        xq = refs[i][0, 0]; i += 1
+        yq = refs[i][0, 0]; i += 1
+        zq = refs[i][0, 0] if has_z else None
         i += 1 if has_z else 0
-        tq = refs[i][0]; i += 1
-        vq = refs[i][0]; i += 1
-        qlim = refs[i][0] if use_limit else None
+        tq = refs[i][0, 0]; i += 1
+        vq = refs[i][0, 0]; i += 1
+        qlim = refs[i][0, 0] if use_limit else None
         i += 1 if use_limit else 0
-        xc = refs[i][0]; i += 1
-        yc = refs[i][0]; i += 1
-        zc = refs[i][0] if has_z else None
+        xc = refs[i][0, 0]; i += 1
+        yc = refs[i][0, 0]; i += 1
+        zc = refs[i][0, 0] if has_z else None
         i += 1 if has_z else 0
-        tc = refs[i][0]; i += 1
-        vc = refs[i][0]; i += 1
-        pay = refs[i][0]; i += 1
-        byp = refs[i][0] if use_limit else None
+        tc = refs[i][0, 0]; i += 1
+        vc = refs[i][0, 0]; i += 1
+        pay = refs[i][0, 0]; i += 1
+        byp = refs[i][0, 0] if use_limit else None
         i += 1 if use_limit else 0
         eps2 = refs[i][0, 0]; i += 1
         eps_t = refs[i][0, 0]; i += 1
@@ -93,7 +93,7 @@ def _make_min_kernel(has_z: bool, use_limit: bool):
                 m = mask
             cand_min = jnp.min(
                 jnp.where(m, pay[None, :], INT_MAX), axis=1)
-            out_ref[0] = jnp.minimum(out_ref[0], cand_min)
+            out_ref[0, 0] = jnp.minimum(out_ref[0, 0], cand_min)
 
     return kernel
 
@@ -114,21 +114,26 @@ def min_sweep_pallas(
     has_z = d >= 3
     k_pad = index.cand_idx.shape[1]
 
-    planes_q = [index.coords[..., 0], index.coords[..., 1]]
+    def p3(a):  # (nt, t) -> (nt, 1, t): legal Mosaic blocks (1, 1, t)
+        return a.reshape(nt, 1, t)
+
+    planes_q = [p3(index.coords[..., 0]), p3(index.coords[..., 1])]
     if has_z:
-        planes_q.append(index.coords[..., 2])
-    planes_q += [index.times, index.valid.astype(jnp.int8)]
+        planes_q.append(p3(index.coords[..., 2]))
+    planes_q += [p3(index.times), p3(index.valid.astype(jnp.int8))]
     if use_limit:
-        planes_q.append(query_limit)
+        planes_q.append(p3(query_limit))
     planes_c = list(planes_q[:2 + (1 if has_z else 0)])
-    planes_c += [index.times, index.valid.astype(jnp.int8), payload]
+    planes_c += [p3(index.times), p3(index.valid.astype(jnp.int8)),
+                 p3(payload)]
     if use_limit:
         if bypass_limit is None:
             bypass_limit = jnp.zeros((nt, t), jnp.int8)
-        planes_c.append(bypass_limit.astype(jnp.int8))
+        planes_c.append(p3(bypass_limit.astype(jnp.int8)))
 
-    q_spec = pl.BlockSpec((1, t), lambda q, k, cand, cnt: (q, 0))
-    c_spec = pl.BlockSpec((1, t), lambda q, k, cand, cnt: (cand[q, k], 0))
+    q_spec = pl.BlockSpec((1, 1, t), lambda q, k, cand, cnt: (q, 0, 0))
+    c_spec = pl.BlockSpec((1, 1, t),
+                          lambda q, k, cand, cnt: (cand[q, k], 0, 0))
     s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -136,19 +141,19 @@ def min_sweep_pallas(
         grid=(nt, k_pad),
         in_specs=([q_spec] * len(planes_q) + [c_spec] * len(planes_c)
                   + [s_spec, s_spec]),
-        out_specs=pl.BlockSpec((1, t), lambda q, k, cand, cnt: (q, 0)),
+        out_specs=pl.BlockSpec((1, 1, t), lambda q, k, cand, cnt: (q, 0, 0)),
     )
 
     out = pl.pallas_call(
         _make_min_kernel(has_z, use_limit),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt, t), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
         interpret=_interpret(),
     )(index.cand_idx, index.cand_count,
       *planes_q, *planes_c,
       (eps_space * eps_space).reshape(1, 1),
       eps_time.reshape(1, 1))
-    return out
+    return out.reshape(nt, t)
 
 
 def _make_stats_kernel(has_z: bool, n_offsets: int):
@@ -156,18 +161,18 @@ def _make_stats_kernel(has_z: bool, n_offsets: int):
 
     def kernel(cand_ref, count_ref, *refs):
         i = 0
-        xq = refs[i][0]; i += 1
-        yq = refs[i][0]; i += 1
-        zq = refs[i][0] if has_z else None
+        xq = refs[i][0, 0]; i += 1
+        yq = refs[i][0, 0]; i += 1
+        zq = refs[i][0, 0] if has_z else None
         i += 1 if has_z else 0
-        tq = refs[i][0]; i += 1
-        vq = refs[i][0]; i += 1
-        xc = refs[i][0]; i += 1
-        yc = refs[i][0]; i += 1
-        zc = refs[i][0] if has_z else None
+        tq = refs[i][0, 0]; i += 1
+        vq = refs[i][0, 0]; i += 1
+        xc = refs[i][0, 0]; i += 1
+        yc = refs[i][0, 0]; i += 1
+        zc = refs[i][0, 0] if has_z else None
         i += 1 if has_z else 0
-        tc = refs[i][0]; i += 1
-        vc = refs[i][0]; i += 1
+        tc = refs[i][0, 0]; i += 1
+        vc = refs[i][0, 0]; i += 1
         eps2 = refs[i][0, 0]; i += 1
         eps_t = refs[i][0, 0]; i += 1
         deg_ref = refs[i]; i += 1
@@ -187,16 +192,16 @@ def _make_stats_kernel(has_z: bool, n_offsets: int):
         def _():
             mask, dt = _pair_mask_block(xq, yq, zq, xc, yc, zc, tq, tc,
                                         vq, vc, eps2, eps_t)
-            deg_ref[0] = deg_ref[0] + jnp.sum(
+            deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(
                 mask, axis=1, dtype=jnp.int32)
             if ki > 0:
                 dti = jnp.round(dt).astype(jnp.int32)
-                bits = bits_ref[0]
+                bits = bits_ref[0, 0]
                 for off in range(-ki, ki + 1):
                     hit = jnp.any(mask & (dti == off), axis=1)
                     bits = bits | jnp.where(
                         hit, np.int32(1 << (off + ki)), 0).astype(jnp.int32)
-                bits_ref[0] = bits
+                bits_ref[0, 0] = bits
 
     return kernel
 
@@ -216,16 +221,20 @@ def core_stats_pallas(
     has_z = d >= 3
     k_pad = index.cand_idx.shape[1]
 
-    planes_q = [index.coords[..., 0], index.coords[..., 1]]
+    def p3(a):
+        return a.reshape(nt, 1, t)
+
+    planes_q = [p3(index.coords[..., 0]), p3(index.coords[..., 1])]
     if has_z:
-        planes_q.append(index.coords[..., 2])
-    planes_q += [index.times, index.valid.astype(jnp.int8)]
+        planes_q.append(p3(index.coords[..., 2]))
+    planes_q += [p3(index.times), p3(index.valid.astype(jnp.int8))]
     planes_c = list(planes_q)
 
-    q_spec = pl.BlockSpec((1, t), lambda q, k, cand, cnt: (q, 0))
-    c_spec = pl.BlockSpec((1, t), lambda q, k, cand, cnt: (cand[q, k], 0))
+    q_spec = pl.BlockSpec((1, 1, t), lambda q, k, cand, cnt: (q, 0, 0))
+    c_spec = pl.BlockSpec((1, 1, t),
+                          lambda q, k, cand, cnt: (cand[q, k], 0, 0))
     s_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    o_spec = pl.BlockSpec((1, t), lambda q, k, cand, cnt: (q, 0))
+    o_spec = pl.BlockSpec((1, 1, t), lambda q, k, cand, cnt: (q, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -238,12 +247,14 @@ def core_stats_pallas(
     deg, bits = pl.pallas_call(
         _make_stats_kernel(has_z, n_offsets),
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nt, t), jnp.int32),
-                   jax.ShapeDtypeStruct((nt, t), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                   jax.ShapeDtypeStruct((nt, 1, t), jnp.int32)),
         interpret=_interpret(),
     )(index.cand_idx, index.cand_count,
       *planes_q, *planes_c,
       (eps_space * eps_space).reshape(1, 1),
       eps_time.reshape(1, 1))
+    deg = deg.reshape(nt, t)
+    bits = bits.reshape(nt, t)
     frame_count = _popcount(bits) if n_offsets > 0 else jnp.zeros_like(deg)
     return deg, frame_count
