@@ -32,10 +32,13 @@ def _load_config(ctx) -> PipelineConfig:
 @click.pass_context
 def cli(ctx: click.Context, config_path: Optional[Path], verbose: int) -> None:
     """TPU-native radar point cloud processing pipeline."""
+    from ..utils.logging import configure_logging
+
     ctx.ensure_object(dict)
     ctx.obj["config"] = (PipelineConfig.from_yaml(config_path)
                          if config_path else PipelineConfig())
     ctx.obj["verbose"] = verbose
+    configure_logging(verbose)
 
 
 @cli.command("sort-by-gain")
@@ -209,12 +212,22 @@ def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
           intensity_threshold: float) -> None:
     """Run the temporal object tracking pipeline."""
     from ..models.tracker import run_tracking_pipeline
+    from ..utils.logging import CommandTimer, print_summary
 
-    run_tracking_pipeline(
+    timer = CommandTimer()
+    result = run_tracking_pipeline(
         data_dir, output_dir, max_frames=max_frames,
         skip_land_filter=no_land_filter, visualize=not no_viz,
         eps_space=eps_space, eps_time=eps_time, min_samples=min_samples,
         intensity_threshold=intensity_threshold, config=_load_config(ctx))
+    rows = {
+        "Frames": str(result.ingested.num_frames),
+        "Points": f"{result.n_points:,}",
+        "Clusters": str(result.num_clusters),
+        "Objects": str(len(result.objects_rows())),
+    }
+    rows[timer.row()[0]] = timer.row()[1]
+    print_summary("Tracking complete", rows)
 
 
 @cli.command("denoise")

@@ -8,8 +8,9 @@ prefetched candidate table, so Mosaic double-buffers candidate tiles straight
 from HBM while the VPU evaluates the (T x T) pair predicate.  Accumulators
 live in the revisited output block (same index across the candidate axis).
 
-Coordinates are passed as separate (Ntiles, T) planes (lane-aligned) rather
-than (Ntiles, T, D).
+Coordinates are passed as separate (Ntiles, 1, T) planes (lane-aligned,
+legal (1, 1, T) Mosaic blocks); masks ride as int32 planes (Mosaic cannot
+insert minor dims on sub-32-bit vectors).
 """
 
 from __future__ import annotations
@@ -120,16 +121,16 @@ def min_sweep_pallas(
     planes_q = [p3(index.coords[..., 0]), p3(index.coords[..., 1])]
     if has_z:
         planes_q.append(p3(index.coords[..., 2]))
-    planes_q += [p3(index.times), p3(index.valid.astype(jnp.int8))]
+    planes_q += [p3(index.times), p3(index.valid.astype(jnp.int32))]
     if use_limit:
         planes_q.append(p3(query_limit))
     planes_c = list(planes_q[:2 + (1 if has_z else 0)])
-    planes_c += [p3(index.times), p3(index.valid.astype(jnp.int8)),
+    planes_c += [p3(index.times), p3(index.valid.astype(jnp.int32)),
                  p3(payload)]
     if use_limit:
         if bypass_limit is None:
-            bypass_limit = jnp.zeros((nt, t), jnp.int8)
-        planes_c.append(p3(bypass_limit.astype(jnp.int8)))
+            bypass_limit = jnp.zeros((nt, t), jnp.int32)
+        planes_c.append(p3(bypass_limit.astype(jnp.int32)))
 
     q_spec = pl.BlockSpec((1, 1, t), lambda q, k, cand, cnt: (q, 0, 0))
     c_spec = pl.BlockSpec((1, 1, t),
@@ -227,7 +228,7 @@ def core_stats_pallas(
     planes_q = [p3(index.coords[..., 0]), p3(index.coords[..., 1])]
     if has_z:
         planes_q.append(p3(index.coords[..., 2]))
-    planes_q += [p3(index.times), p3(index.valid.astype(jnp.int8))]
+    planes_q += [p3(index.times), p3(index.valid.astype(jnp.int32))]
     planes_c = list(planes_q)
 
     q_spec = pl.BlockSpec((1, 1, t), lambda q, k, cand, cnt: (q, 0, 0))

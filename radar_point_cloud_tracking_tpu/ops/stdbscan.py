@@ -197,6 +197,12 @@ def st_dbscan_device(
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size)
     n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
+    if use_pallas:
+        # the scalar-prefetched candidate table lives in SMEM (~1 MB);
+        # oversized problems fall back to the XLA-composed sweeps
+        table_bytes = index.cand_idx.size * 4 + index.cand_count.size * 4
+        if table_bytes > 400_000:
+            use_pallas = False
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
         int(min_samples), int(min_frames), n_offsets, border_mode,

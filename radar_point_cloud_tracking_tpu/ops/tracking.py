@@ -205,11 +205,15 @@ def tracker_step(
     )
 
     seen_now = matched_obj.at[target_slot].set(True, mode="drop")
+    # mean of the last 3 velocities drives the viz arrows
+    # (4_temporal_object_tracker.py:751)
+    vel3, _ = _recent_vel_stats(ring2, vel_count2, 3)
     record = {
         "object_id": object_id2,
         "seen": seen_now & active3,
         "pos": last_pos2,
         "active": active3,
+        "vel": vel3,
     }
     return new_state, record
 

@@ -184,13 +184,16 @@ def render_tracking_outputs(result, output_dir: Path,
                             cs["centroids"][fi, k, 1] - records["pos"][fi, slot, 1])
                         if d < best_d:
                             best, best_d = int(cs["label"][fi, k]), d
+                vel = None
+                if row["object_type"] == "boat" and "vel" in records:
+                    vel = records["vel"][fi, slot]
                 objects.append({
                     "object_id": oid,
                     "object_type": row["object_type"],
                     "x": float(records["pos"][fi, slot, 0]),
                     "y": float(records["pos"][fi, slot, 1]),
                     "cluster_id": best,
-                    "vel": None,
+                    "vel": vel,
                 })
         plot_frame_with_objects(frame_pts, frame_gains, frame_labels, objects,
                                 fid, viz_dir / f"frame_{fid:04d}.png")
