@@ -42,7 +42,14 @@ _QUERY_CHUNK = 8  # query tiles processed together in a sweep step
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class SpatialIndex:
-    """Morton-sorted, tiled view of a point set plus pruned tile-pair lists."""
+    """Morton-sorted, tiled view of a point set plus pruned tile-pair lists.
+
+    ``qorder`` lists query-tile ids in ascending candidate count: sweeping in
+    that order groups tiles of similar workload into the same chunk, whose
+    dynamic loop then runs only the chunk's own maximum — dense-region
+    worst cases stop inflating the whole grid (candidate counts are heavily
+    skewed: the p50 tile has 0 pruned candidates, the max can have hundreds).
+    """
 
     coords: jnp.ndarray  # (Ntiles, T, D) sorted
     times: jnp.ndarray  # (Ntiles, T)
@@ -50,10 +57,11 @@ class SpatialIndex:
     perm: jnp.ndarray  # (N,) original index of each sorted slot
     cand_idx: jnp.ndarray  # (Ntiles, K) candidate tile ids (self included)
     cand_count: jnp.ndarray  # (Ntiles,) number of valid candidates
+    qorder: jnp.ndarray  # (Ntiles,) tile ids sorted by ascending cand_count
 
     def tree_flatten(self):
         return ((self.coords, self.times, self.valid, self.perm,
-                 self.cand_idx, self.cand_count), None)
+                 self.cand_idx, self.cand_count, self.qorder), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -173,8 +181,10 @@ def build_spatial_index(
     else:
         k_pad = min(k_pad, num_tiles)
     cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
+    qorder = jnp.argsort(cand_count, stable=True).astype(jnp.int32)
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
-                        perm=perm, cand_idx=cand_idx, cand_count=cand_count)
+                        perm=perm, cand_idx=cand_idx, cand_count=cand_count,
+                        qorder=qorder)
 
 
 # ---------------------------------------------------------------------------
@@ -213,9 +223,14 @@ def neighbor_core_stats(
 
     def chunk_fn(args):
         qc, qt, qv, cands, ccount = args
+        kmax = jnp.max(ccount)
+        qshape = qc.shape[:2]
 
-        def body(carry, k):
-            deg, fbits = carry
+        def cond(state):
+            return state[0] < kmax
+
+        def body(state):
+            k, deg, fbits = state
             cidx = cands[:, k]
             live = k < ccount
             cc = coords[cidx]
@@ -229,18 +244,17 @@ def neighbor_core_stats(
                     hit = jnp.any(mask & (dti == off), axis=2)
                     fbits = fbits | jnp.where(hit, np.int32(1 << (off + ki)),
                                               0).astype(jnp.int32)
-            return (deg, fbits), None
+            return k + 1, deg, fbits
 
-        qshape = qc.shape[:2]
-        init = (jnp.zeros(qshape, jnp.int32), jnp.zeros(qshape, jnp.int32))
-        (deg, fbits), _ = jax.lax.scan(body, init,
-                                       jnp.arange(cands.shape[1]))
+        init = (jnp.int32(0), jnp.zeros(qshape, jnp.int32),
+                jnp.zeros(qshape, jnp.int32))
+        _, deg, fbits = jax.lax.while_loop(cond, body, init)
         return deg, fbits
 
-    qcs = _chunked(index, _QUERY_CHUNK)
-    deg, fbits = jax.lax.map(chunk_fn, qcs)
-    deg = deg.reshape(num_tiles, tile)
-    fbits = fbits.reshape(num_tiles, tile)
+    qcs, qorder = _chunked(index, _QUERY_CHUNK)
+    deg_c, fbits_c = jax.lax.map(chunk_fn, qcs)
+    deg = _unchunk(deg_c, qorder, num_tiles, tile)
+    fbits = _unchunk(fbits_c, qorder, num_tiles, tile)
     frame_count = _popcount(fbits) if ki > 0 else jnp.zeros_like(deg)
     return deg, frame_count
 
@@ -275,8 +289,13 @@ def neighbor_min_sweep(
 
     def chunk_fn(args):
         qc, qt, qv, cands, ccount, qlim = args
+        kmax = jnp.max(ccount)
 
-        def body(acc, k):
+        def cond(state):
+            return state[0] < kmax
+
+        def body(state):
+            k, acc = state
             cidx = cands[:, k]
             live = k < ccount
             cc = coords[cidx]
@@ -288,38 +307,46 @@ def neighbor_min_sweep(
                 byp = bypass_limit[cidx][:, None, :]
                 mask = mask & ((pb < qlim[:, :, None]) | byp)
             cand_min = jnp.min(jnp.where(mask, pay, INT_MAX), axis=2)
-            return jnp.minimum(acc, cand_min), None
+            return k + 1, jnp.minimum(acc, cand_min)
 
-        init = jnp.full(qc.shape[:2], INT_MAX, jnp.int32)
-        acc, _ = jax.lax.scan(body, init, jnp.arange(cands.shape[1]))
+        init = (jnp.int32(0), jnp.full(qc.shape[:2], INT_MAX, jnp.int32))
+        _, acc = jax.lax.while_loop(cond, body, init)
         return acc
 
-    qcs = _chunked(index, _QUERY_CHUNK)
+    qcs, qorder = _chunked(index, _QUERY_CHUNK)
+    nc = qcs[0].shape[0]
     if use_limit:
-        nc = qcs[0].shape[0]
-        qcs = qcs + (limit_c.reshape(nc, -1, tile),)
+        qcs = qcs + (limit_c[qorder].reshape(nc, -1, tile),)
     else:
-        qcs = qcs + (jnp.zeros((qcs[0].shape[0], qcs[0].shape[1], 1),
-                               jnp.int32),)
+        qcs = qcs + (jnp.zeros((nc, qcs[0].shape[1], 1), jnp.int32),)
     out = jax.lax.map(chunk_fn, qcs)
-    return out.reshape(num_tiles, tile)
+    return _unchunk(out, qorder, num_tiles, tile)
 
 
 def _chunked(index: SpatialIndex, chunk: int):
-    """Reshape tile arrays into (num_chunks, chunk, ...) for lax.map."""
+    """Gather tile arrays in candidate-count-sorted order and reshape to
+    (num_chunks, chunk, ...) for lax.map.  Returns (chunk arrays, qorder)."""
     num_tiles, tile = index.num_tiles, index.tile
     c = min(chunk, num_tiles)
     while num_tiles % c:
         c -= 1
     nc = num_tiles // c
     d = index.coords.shape[-1]
+    o = index.qorder
     return (
-        index.coords.reshape(nc, c, tile, d),
-        index.times.reshape(nc, c, tile),
-        index.valid.reshape(nc, c, tile),
-        index.cand_idx.reshape(nc, c, -1),
-        index.cand_count.reshape(nc, c),
-    )
+        index.coords[o].reshape(nc, c, tile, d),
+        index.times[o].reshape(nc, c, tile),
+        index.valid[o].reshape(nc, c, tile),
+        index.cand_idx[o].reshape(nc, c, -1),
+        index.cand_count[o].reshape(nc, c),
+    ), o
+
+
+def _unchunk(chunked: jnp.ndarray, qorder: jnp.ndarray, num_tiles: int,
+             tile: int) -> jnp.ndarray:
+    """Scatter per-chunk results back to sorted-tile order."""
+    flat = chunked.reshape(num_tiles, tile)
+    return jnp.zeros_like(flat).at[qorder].set(flat)
 
 
 def _popcount(v: jnp.ndarray) -> jnp.ndarray:
