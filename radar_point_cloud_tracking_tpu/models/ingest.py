@@ -74,6 +74,7 @@ class FrameBatchLoader:
         point_stride: Optional[int] = None,
         frame_capacity: int = 262_144,
         verbose: bool = True,
+        sparse: Optional[bool] = None,
     ) -> None:
         self.config = config or PipelineConfig()
         self.threshold = (self.config.fusion.intensity_threshold
@@ -83,6 +84,12 @@ class FrameBatchLoader:
         self.frame_capacity = frame_capacity
         self.verbose = verbose
         self._truncated = 0
+        # sparse ingest: the native parser applies threshold+stride on host
+        # and only surviving (row, bin, echo) triplets cross to the device —
+        # ~300x less transfer than shipping full echo grids
+        from .. import native as _native
+
+        self.sparse = _native.HAVE_NATIVE if sparse is None else sparse
 
     # -- single frame -----------------------------------------------------
     def load_frame_tables(self, frame_files: Dict[int, Path]) -> List[Tuple[int, np.ndarray]]:
@@ -150,6 +157,77 @@ class FrameBatchLoader:
                       f"(raise frame_capacity)", file=sys.stderr)
         return packed[:, :3], packed[:, 3].astype(jnp.int32), total
 
+    # -- sparse (host-compacted) path -------------------------------------
+    def parse_frame_sparse(self, frame_files: Dict[int, Path]):
+        """Native one-pass parse+compact of one frame's sweeps (ascending
+        gain order).  Returns None for empty frames."""
+        from .. import native
+
+        num_bins = self.config.radar.num_echo_columns
+        max_rows = self.config.radar.max_sweep_rows
+        cap = self.frame_capacity
+        sweeps = []
+        total = 0
+        for gain in sorted(frame_files):
+            try:
+                rows_a, bins_a, vals_a, angles, scales, _ = \
+                    native.parse_radar_points(
+                        frame_files[gain], num_bins,
+                        float(self.threshold), int(self.stride),
+                        max_rows, cap)
+            except Exception as exc:  # lenient per-file failure
+                print(f"Error loading {frame_files[gain]}: {exc}",
+                      file=sys.stderr)
+                continue
+            if angles.shape[0] == 0:
+                continue
+            sweeps.append((gain, rows_a, bins_a, vals_a, angles, scales))
+            total += len(rows_a)
+        if not sweeps:
+            return None
+        if total > cap:
+            self._truncated += total - cap
+            if self.verbose:
+                print(f"warning: frame truncated {total}->{cap} points "
+                      f"(raise frame_capacity)", file=sys.stderr)
+        return sweeps
+
+    def _convert_chunk_sparse(self, chunk_sweeps, rows):
+        """One device dispatch for several sparse-parsed frames."""
+        from ..ops.geometry import convert_sparse_frames
+
+        nf = len(chunk_sweeps)
+        g = max(len(s) for s in chunk_sweeps)
+        c = self.frame_capacity
+        pt_row = np.zeros((nf, c), np.int32)
+        pt_bin = np.zeros((nf, c), np.int32)
+        pt_val = np.zeros((nf, c), np.float32)
+        pt_sweep = np.zeros((nf, c), np.int32)
+        pt_gain = np.zeros((nf, c), np.int32)
+        counts = np.zeros((nf,), np.int32)
+        angles = np.zeros((nf, g, rows), np.float32)
+        scales = np.zeros((nf, g, rows), np.float32)
+        for fi, sweeps in enumerate(chunk_sweeps):
+            off = 0
+            for si, (gain, rows_a, bins_a, vals_a, ang, sc) in enumerate(sweeps):
+                n = min(len(rows_a), c - off)
+                pt_row[fi, off:off + n] = rows_a[:n]
+                pt_bin[fi, off:off + n] = bins_a[:n]
+                pt_val[fi, off:off + n] = vals_a[:n]
+                pt_sweep[fi, off:off + n] = si
+                pt_gain[fi, off:off + n] = gain
+                angles[fi, si, :len(ang)] = ang
+                scales[fi, si, :len(sc)] = sc
+                off += n
+            counts[fi] = off
+        xyi = convert_sparse_frames(
+            jnp.asarray(pt_row), jnp.asarray(pt_bin), jnp.asarray(pt_val),
+            jnp.asarray(pt_sweep), jnp.asarray(counts),
+            jnp.asarray(angles), jnp.asarray(scales),
+            jnp.float32(self.config.radar.angle_scale),
+            self.config.radar.num_echo_columns)
+        return xyi, jnp.asarray(pt_gain), jnp.asarray(counts)
+
     # -- chunked sequence -------------------------------------------------
     def _convert_chunk(self, chunk_tables, rows):
         """One device dispatch for several frames: conversion over the
@@ -203,7 +281,7 @@ class FrameBatchLoader:
         """
         xyi_parts, gain_parts, count_parts = [], [], []
         frame_ids, ts_list = [], []
-        pending: list = []  # (frame_idx, ts, tables)
+        pending: list = []  # (frame_idx, ts, parsed)
         pending_shape = None
 
         def flush():
@@ -211,8 +289,11 @@ class FrameBatchLoader:
             if not pending:
                 return
             rows = pending_shape[1]
-            xyi, gain, totals = self._convert_chunk(
-                [t for _, _, t in pending], rows)
+            parsed = [t for _, _, t in pending]
+            if self.sparse:
+                xyi, gain, totals = self._convert_chunk_sparse(parsed, rows)
+            else:
+                xyi, gain, totals = self._convert_chunk(parsed, rows)
             xyi_parts.append(xyi)
             gain_parts.append(gain)
             count_parts.append(totals)
@@ -223,11 +304,18 @@ class FrameBatchLoader:
             pending_shape = None
 
         for i, ff in enumerate(frame_files_list):
-            tables = self.load_frame_tables(ff)
-            if not tables:
-                continue
-            rows = _bucket(max(t.shape[0] for _, t in tables))
-            shape = (len(tables), rows)
+            if self.sparse:
+                parsed = self.parse_frame_sparse(ff)
+                if parsed is None:
+                    continue
+                rows = _bucket(max(len(s[4]) for s in parsed))
+                shape = (len(parsed), rows)
+            else:
+                parsed = self.load_frame_tables(ff)
+                if not parsed:
+                    continue
+                rows = _bucket(max(t.shape[0] for _, t in parsed))
+                shape = (len(parsed), rows)
             first = sorted(ff)[0]
             try:
                 _, ts_ms = parse_timestamp(ff[first].name)
@@ -237,7 +325,7 @@ class FrameBatchLoader:
                                               or len(pending) >= chunk_frames):
                 flush()
             pending_shape = shape
-            pending.append((i, ts_ms, tables))
+            pending.append((i, ts_ms, parsed))
             if self.verbose and (i + 1) % progress_every == 0:
                 print(f"  Processed {i + 1}/{len(frame_files_list)} frames...")
         flush()

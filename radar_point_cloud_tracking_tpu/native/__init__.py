@@ -75,6 +75,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.parse_radar_points.restype = ctypes.c_int
+    lib.parse_radar_points.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+    ]
     return lib
 
 
@@ -133,3 +141,31 @@ def parse_ascii_rows(path: Path, offset: int, n_rows: int, ncols: int) -> np.nda
     if n < 0:
         raise IOError(f"parse_ascii_rows failed for {path}")
     return out[:n]
+
+
+def parse_radar_points(path: Path, num_echo: int, threshold: float,
+                       stride: int, max_rows: int, max_pts: int):
+    """One-pass parse + threshold + stride compaction.
+
+    Returns (rows u16 (P,), bins u16 (P,), vals f32 (P,),
+    angle_units f32 (R,), scale f32 (R,), gain int).
+    """
+    assert _lib is not None
+    pt_row = np.empty(max_pts, np.uint16)
+    pt_bin = np.empty(max_pts, np.uint16)
+    pt_val = np.empty(max_pts, np.float32)
+    row_angle = np.zeros(max_rows, np.float32)
+    row_scale = np.zeros(max_rows, np.float32)
+    rows_out = ctypes.c_int(0)
+    gain_out = ctypes.c_float(0)
+    n = _lib.parse_radar_points(
+        str(path).encode(), num_echo, threshold, stride,
+        pt_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        pt_bin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        _fptr(pt_val), _fptr(row_angle), _fptr(row_scale),
+        max_rows, max_pts, ctypes.byref(rows_out), ctypes.byref(gain_out))
+    if n < 0:
+        raise IOError(f"parse_radar_points failed for {path}")
+    r = rows_out.value
+    return (pt_row[:n], pt_bin[:n], pt_val[:n], row_angle[:r], row_scale[:r],
+            int(gain_out.value))

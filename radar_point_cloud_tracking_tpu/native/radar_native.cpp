@@ -173,6 +173,91 @@ int count_csv_rows(const char *path, int skip_rows) {
     return rows < 0 ? 0 : rows;
 }
 
+// Parse a radar CSV and compact it in one pass: keep cells with
+// echo > threshold, then every stride-th survivor (row-major order — the
+// reference's flatten-then-stride semantics).  Emits per-point (row, bin,
+// echo) plus per-row Angle and Scale columns, so the polar->Cartesian trig
+// can stay on the accelerator while only surviving points cross the wire.
+// Returns the number of points, or -1 on I/O error.  *rows_out receives the
+// row count; gain_out the first row's Gain.
+int parse_radar_points(const char *path, int num_echo, float threshold,
+                       int stride, uint16_t *pt_row, uint16_t *pt_bin,
+                       float *pt_val, float *row_angle, float *row_scale,
+                       int max_rows, long long max_pts, int *rows_out,
+                       float *gain_out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return -1;
+  }
+  size_t size = (size_t)st.st_size;
+  if (size == 0) {
+    close(fd);
+    *rows_out = 0;
+    return 0;
+  }
+  const char *data =
+      (const char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (data == MAP_FAILED) return -1;
+
+  const char *p = data;
+  const char *end = data + size;
+  // skip header
+  {
+    const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+    p = nl ? nl + 1 : end;
+  }
+
+  int row = 0;
+  long long npts = 0;
+  long long rank = 0;  // survivor rank for stride selection
+  if (stride < 1) stride = 1;
+
+  while (p < end && row < max_rows) {
+    const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
+    const char *line_end = nl ? nl : end;
+    if (line_end == p || (*p == '\r' && line_end == p + 1)) {
+      p = nl ? nl + 1 : end;
+      continue;
+    }
+    const char *q = p;
+    // meta columns: Status, Scale, Range, Gain, Angle
+    float meta[5];
+    for (int c = 0; c < 5; c++) {
+      meta[c] = (q < line_end) ? parse_float_fast(&q, line_end) : 0.0f;
+      while (q < line_end && *q != ',') q++;
+      if (q < line_end) q++;
+    }
+    row_scale[row] = meta[1];
+    row_angle[row] = meta[4];
+    if (row == 0) *gain_out = meta[3];
+
+    for (int b = 0; b < num_echo; b++) {
+      float v = (q < line_end) ? parse_float_fast(&q, line_end) : 0.0f;
+      while (q < line_end && *q != ',') q++;
+      if (q < line_end) q++;
+      if (v > threshold) {
+        if (rank % stride == 0 && npts < max_pts) {
+          pt_row[npts] = (uint16_t)row;
+          pt_bin[npts] = (uint16_t)b;
+          pt_val[npts] = v;
+          npts++;
+        }
+        rank++;
+      }
+    }
+    row++;
+    p = nl ? nl + 1 : end;
+  }
+
+  munmap((void *)data, size);
+  *rows_out = row;
+  return (int)npts;
+}
+
 // ---------------------------------------------------------------------------
 // PLY writers
 // ---------------------------------------------------------------------------

@@ -172,6 +172,41 @@ def repack_padded(
     return out[:total_capacity], total
 
 
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def convert_sparse_frames(
+    pt_row: jnp.ndarray,  # (F, C) int32 sweep-row of each point
+    pt_bin: jnp.ndarray,  # (F, C) int32 range-bin of each point
+    pt_val: jnp.ndarray,  # (F, C) f32 echo intensity
+    pt_sweep: jnp.ndarray,  # (F, C) int32 sweep slot within the frame
+    counts: jnp.ndarray,  # (F,) valid points per frame
+    angles_units: jnp.ndarray,  # (F, G, R) raw Angle column values
+    scales: jnp.ndarray,  # (F, G, R) Scale column values
+    angle_scale: jnp.ndarray,  # () radar units -> degrees factor
+    num_bins: int,
+) -> jnp.ndarray:
+    """Polar->Cartesian for host-precompacted points (sparse ingest path).
+
+    The native parser already applied threshold+stride and shipped only the
+    surviving (row, bin, echo) triplets; this completes the geometry on
+    device: per-point angle/scale gathers + trig.  Padding slots (beyond
+    ``counts``) get PAD_COORD.  Returns (F, C, 3) x, y, intensity.
+    """
+    f, c = pt_row.shape
+    ang_units = jnp.take_along_axis(
+        angles_units.reshape(f, -1),
+        pt_sweep * angles_units.shape[2] + pt_row, axis=1)
+    scale = jnp.take_along_axis(
+        scales.reshape(f, -1),
+        pt_sweep * scales.shape[2] + pt_row, axis=1)
+    angles_rad = jnp.deg2rad(ang_units * angle_scale)
+    ranges = (scale / np.float32(num_bins)) * pt_bin.astype(jnp.float32)
+    x = ranges * jnp.cos(angles_rad)
+    y = ranges * jnp.sin(angles_rad)
+    valid = jnp.arange(c)[None, :] < counts[:, None]
+    xyz = jnp.stack([x, y, pt_val], axis=-1)
+    return jnp.where(valid[..., None], xyz, PAD_COORD)
+
+
 # ---------------------------------------------------------------------------
 # Host-facing conveniences (reference API parity)
 # ---------------------------------------------------------------------------

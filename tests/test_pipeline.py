@@ -115,6 +115,34 @@ def test_ingest_matches_oracle_conversion(gain_dataset):
             np.asarray(ingested.gain[fi])[:n], gains)
 
 
+def test_sparse_ingest_matches_dense(gain_dataset):
+    """Host-compacted (native) ingest == full-grid device ingest, exactly."""
+    from radar_point_cloud_tracking_tpu import native
+
+    if not native.HAVE_NATIVE:
+        pytest.skip("native lib unavailable")
+    files_by_gain = rpt.discover_files(gain_dataset)
+    frame_files = rpt.group_files_by_frame(files_by_gain)
+
+    results = []
+    for sparse in (False, True):
+        loader = FrameBatchLoader(intensity_threshold=THRESHOLD,
+                                  point_stride=STRIDE, verbose=False,
+                                  frame_capacity=4096, sparse=sparse)
+        loader.config.radar.num_echo_columns = 64
+        results.append(loader.load_sequence(frame_files))
+    dense, sparse_r = results
+    np.testing.assert_array_equal(np.asarray(dense.count),
+                                  np.asarray(sparse_r.count))
+    for fi in range(dense.num_frames):
+        n = int(dense.count[fi])
+        np.testing.assert_allclose(
+            np.asarray(sparse_r.xyi[fi])[:n], np.asarray(dense.xyi[fi])[:n],
+            rtol=1e-6, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(sparse_r.gain[fi])[:n], np.asarray(dense.gain[fi])[:n])
+
+
 def test_cluster_labels_exact_match(gain_dataset, device_result):
     _, oracle_labels, _, _ = _oracle_pipeline(gain_dataset)
     np.testing.assert_array_equal(device_result.labels, oracle_labels)
