@@ -49,7 +49,7 @@ def _dataset(num_frames: int) -> Path:
     from radar_point_cloud_tracking_tpu.experiments.synthetic import (
         SceneConfig, generate_scene_dataset)
 
-    sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v2"
+    sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v3"
     data_dir = Path(__file__).resolve().parent / ".bench_data" / sig
     if (data_dir / "gain_75").is_dir():
         log(f"dataset cache hit: {data_dir}")

@@ -20,9 +20,12 @@ import os as _os
 if _os.environ.get("RADAR_TPU_NO_COMPILE_CACHE", "0") != "1":
     import jax as _jax
 
+    # per-platform cache dirs (AOT artifacts are machine-specific)
+    _plat = "cpu" if "cpu" in _os.environ.get("JAX_PLATFORMS", "") else "tpu"
     _cache_dir = _os.environ.get(
         "RADAR_TPU_COMPILE_CACHE",
-        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        _os.path.join(_os.path.dirname(__file__), "..",
+                      f".jax_cache_{_plat}"))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

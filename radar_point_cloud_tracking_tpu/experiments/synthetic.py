@@ -89,16 +89,22 @@ def generate_scene_dataset(out_dir: Path, cfg: SceneConfig) -> Path:
         for gi, gain in enumerate(cfg.gains):
             echo = np.zeros((cfg.num_rows, cfg.num_bins), np.float32)
 
-            # land: persistent high-intensity sector
+            # land: persistent high-intensity sector.  Painted densely (every
+            # cell of the sector every frame) so the persistence filter sees
+            # a solid mass — sparse sampling would leave half-persistent
+            # fringe cells that survive filtering as clutter clusters.
             a0, a1 = cfg.land_arc
             r0 = cfg.land_range[0] * cfg.scale_m
             r1 = cfg.land_range[1] * cfg.scale_m
-            n_land = 500
-            la = rng.uniform(a0, a1, n_land)
-            lr = rng.uniform(r0, r1, n_land)
-            rows, bins = _world_to_cell(lr * np.cos(la), lr * np.sin(la), cfg)
-            echo[rows, bins] = np.maximum(
-                echo[rows, bins], 180 + rng.normal(0, 20, len(rows)))
+            row_lo = int(a0 / (2 * np.pi) * cfg.num_rows)
+            row_hi = int(a1 / (2 * np.pi) * cfg.num_rows)
+            bin_w = cfg.scale_m / cfg.num_bins
+            bin_lo = int(r0 / bin_w)
+            bin_hi = min(int(r1 / bin_w), cfg.num_bins)
+            land_block = 180 + rng.normal(
+                0, 15, (row_hi - row_lo, bin_hi - bin_lo))
+            echo[row_lo:row_hi, bin_lo:bin_hi] = np.maximum(
+                echo[row_lo:row_hi, bin_lo:bin_hi], land_block)
 
             # boats (move) + buoys (stay)
             for start, vel in boats:
