@@ -136,10 +136,8 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
 
     cfg = PipelineConfig()
     cfg.radar.num_echo_columns = NUM_BINS
-    # dense scene: many simultaneous clusters/objects — match the CPU
-    # reference's unbounded behaviour with generous static capacities
-    cfg.tracking.max_objects = 256
-    cfg.tracking.max_clusters_per_frame = 128
+    cfg.tracking.max_objects = 128
+    cfg.tracking.max_clusters_per_frame = 64
 
     files_by_gain = rpt.discover_files(data_dir)
     frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
@@ -147,7 +145,7 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
     t0 = time.perf_counter()
     loader = FrameBatchLoader(cfg, intensity_threshold=THRESHOLD,
                               point_stride=STRIDE, verbose=False,
-                              frame_capacity=32_768)
+                              frame_capacity=131_072)
     ingested = loader.load_sequence(frame_files)
     t_ingest = time.perf_counter() - t0
 

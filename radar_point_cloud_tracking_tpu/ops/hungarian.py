@@ -13,7 +13,7 @@ whenever the optimum is unique).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,15 +25,20 @@ _INF = np.float32(1e30)
 
 
 @jax.jit
-def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
+def solve_lsa(cost: jnp.ndarray,
+              num_rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Solve the assignment problem for a square (N, N) cost matrix.
 
     Returns ``row_of_col`` (N,) int32 — row assigned to each column, -1 if
-    unassigned (never happens for finite costs).  To express rectangular
-    problems, pad with a large constant; padded pairs sort out downstream.
+    unassigned.  ``num_rows`` (traced) restricts the augmenting loop to the
+    first rows — with rows sorted real-first this solves the rectangular
+    problem (num_rows x N) like scipy, at cost proportional to the *actual*
+    row count instead of the padded capacity.
     """
     n = cost.shape[0]
     cost = cost.astype(jnp.float32)
+    if num_rows is None:
+        num_rows = jnp.int32(n)
 
     # p[j]: row matched to column j (virtual column n used as the augment
     # anchor); u/v: dual potentials.
@@ -89,7 +94,8 @@ def solve_lsa(cost: jnp.ndarray) -> jnp.ndarray:
     u0 = jnp.zeros((n + 1,), jnp.float32)
     v0 = jnp.zeros((n + 1,), jnp.float32)
     p0 = jnp.full((n + 1,), -1, jnp.int32)
-    _, _, p = jax.lax.fori_loop(0, n, solve_row, (u0, v0, p0))
+    _, _, p = jax.lax.fori_loop(0, jnp.minimum(num_rows, n), solve_row,
+                                (u0, v0, p0))
     return p[:n]
 
 

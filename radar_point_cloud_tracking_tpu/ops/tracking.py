@@ -124,7 +124,10 @@ def tracker_step(
     cost = jnp.where(cluster_valid[:, None] & active_mask[None, :], cost, _BIG)
     cost_sq = jnp.full((s, s), _BIG, jnp.float32).at[:c, :o].set(cost)
 
-    row_of_col = solve_lsa(cost_sq)  # (s,) cluster index per object column
+    # clusters are compacted valid-first, so restricting the augmenting loop
+    # to num_clusters rows solves the rectangular problem like scipy at cost
+    # proportional to the actual detection count
+    row_of_col = solve_lsa(cost_sq, num_clusters.astype(jnp.int32))
 
     obj_cluster = row_of_col[:o]
     pair_cost = cost_sq[jnp.clip(obj_cluster, 0, s - 1), jnp.arange(o)]
