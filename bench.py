@@ -136,8 +136,11 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
 
     cfg = PipelineConfig()
     cfg.radar.num_echo_columns = NUM_BINS
-    cfg.tracking.max_objects = 128
-    cfg.tracking.max_clusters_per_frame = 64
+    # the scene's sea clutter produces hundreds of concurrent short-lived
+    # tracks (CPU reference is unbounded); capacities must exceed the real
+    # maxima for exact-match — the Hungarian cost scales with actual counts
+    cfg.tracking.max_objects = 512
+    cfg.tracking.max_clusters_per_frame = 256
 
     files_by_gain = rpt.discover_files(data_dir)
     frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
