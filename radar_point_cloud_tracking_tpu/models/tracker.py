@@ -43,11 +43,14 @@ _TYPE_NAME = {TYPE_UNKNOWN: "unknown", TYPE_BUOY: "buoy", TYPE_BOAT: "boat"}
 
 @dataclass
 class TrackingResult:
-    """Everything the tracker pipeline produces, device-side + summaries."""
+    """Everything the tracker pipeline produces, device-side + summaries.
+
+    ``labels``/``points`` pull from device lazily (d2h transfers through the
+    tunnel are expensive; many callers only need the track summaries)."""
 
     ingested: IngestedFrames
-    labels: np.ndarray  # (N,) global cluster labels over the tight buffer
-    points: np.ndarray  # (N, 6) x, y, intensity, frame_local, frame_id, gain
+    labels_dev: object  # (cap,) device labels over the tight buffer
+    points_dev: object  # (cap, 6) x, y, intensity, frame_local, frame_id, gain
     n_points: int
     num_clusters: int
     state: TrackerState  # final tracker state (numpy leaves)
@@ -56,6 +59,20 @@ class TrackingResult:
     land_cells: int = 0
     land_points_removed: int = 0
     timings: Dict[str, float] = field(default_factory=dict)
+    _labels_np: Optional[np.ndarray] = field(default=None, repr=False)
+    _points_np: Optional[np.ndarray] = field(default=None, repr=False)
+
+    @property
+    def labels(self) -> np.ndarray:
+        if self._labels_np is None:
+            self._labels_np = np.asarray(self.labels_dev)[:self.n_points]
+        return self._labels_np
+
+    @property
+    def points(self) -> np.ndarray:
+        if self._points_np is None:
+            self._points_np = np.asarray(self.points_dev)[:self.n_points]
+        return self._points_np
 
     # -- summaries --------------------------------------------------------
     def objects_rows(self) -> List[dict]:
@@ -286,8 +303,8 @@ class TrackingPipeline:
 
         return TrackingResult(
             ingested=ingested,
-            labels=np.asarray(labels)[:n_points],
-            points=np.asarray(points)[:n_points],
+            labels_dev=labels,
+            points_dev=points,
             n_points=n_points,
             num_clusters=num_clusters,
             state=state,
