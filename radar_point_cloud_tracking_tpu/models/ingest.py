@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import PipelineConfig
 from ..core.loaders import load_radar_table
-from ..ops.geometry import PAD_COORD, convert_sweeps_batched, repack_padded
+from ..ops.geometry import convert_sweeps_batched, repack_padded
 from ..utils.timestamps import parse_timestamp
 
 __all__ = ["FrameBatchLoader", "IngestedFrames"]

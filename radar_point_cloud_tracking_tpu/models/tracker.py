@@ -11,10 +11,9 @@ writes artifacts.
 from __future__ import annotations
 
 import functools
-import sys
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..ops import grid as grid_ops
 from ..ops.cluster_stats import per_frame_cluster_stats
-from ..ops.geometry import PAD_COORD, compact_masked
+from ..ops.geometry import compact_masked
 from ..ops.stdbscan import st_dbscan_device
 from ..ops.tracking import (
     TYPE_BOAT,

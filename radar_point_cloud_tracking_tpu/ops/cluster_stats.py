@@ -14,7 +14,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["per_frame_cluster_stats"]
 

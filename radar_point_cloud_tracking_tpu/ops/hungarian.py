@@ -12,7 +12,6 @@ whenever the optimum is unique).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

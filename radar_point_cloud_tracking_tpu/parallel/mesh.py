@@ -6,9 +6,9 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-__all__ = ["make_frames_mesh", "P", "NamedSharding"]
+__all__ = ["make_frames_mesh", "FRAMES_AXIS"]
 
 FRAMES_AXIS = "frames"
 

@@ -21,13 +21,12 @@ runtime at all — SURVEY §2.6).  Design:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.neighbors import INT_MAX, build_spatial_index, neighbor_core_stats, \

@@ -10,9 +10,6 @@ resume mid-sequence with identical results.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
-import jax
 import numpy as np
 
 from ..ops.tracking import TrackerState

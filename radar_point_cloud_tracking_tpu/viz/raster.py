@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import functools
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

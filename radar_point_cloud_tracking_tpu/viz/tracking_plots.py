@@ -15,7 +15,6 @@ import numpy as np
 from .plotting import HAS_MATPLOTLIB
 from ..config import PipelineConfig
 from ..ops.colors import golden_ratio_color
-from ..ops.tracking import TYPE_BOAT, TYPE_BUOY
 
 if HAS_MATPLOTLIB:
     import matplotlib.pyplot as plt
