@@ -270,7 +270,7 @@ class FrameBatchLoader:
         self,
         frame_files_list: Sequence[Dict[int, Path]],
         progress_every: int = 50,
-        chunk_frames: int = 8,
+        chunk_frames: int = 32,
     ) -> IngestedFrames:
         """Convert a grouped frame sequence (skipping empty frames, keeping
         original frame ids like the reference enumeration at :941-944).

@@ -13,7 +13,7 @@ equivalent *fused mask*:
 
 which selects exactly the same points as ``flat[mask][::stride]`` while
 staying a fixed-shape elementwise program, then compact into fixed-capacity
-buffers with ``cumsum``-based scatter (row-major order preserved — required
+buffers with stable-sort compaction (row-major order preserved — required
 for exact-match cluster canonicalization downstream).
 """
 
@@ -89,18 +89,25 @@ def compact_masked(
     Returns (compacted values, count).  Points beyond ``capacity`` are
     dropped (callers size capacity so this cannot happen for supported
     configurations).  Padded coordinate slots are filled with PAD_COORD.
+
+    Implemented as a stable sort (kept-first) + gather: TPU scatters with
+    data-dependent destinations serialize, while sort + dense gather stays
+    on the fast path.
     """
     flat_keep = keep.reshape(-1)
     flat_vals = values.reshape(-1, values.shape[-1])
-    n = flat_keep.shape[0]
-    # destination slot for each kept element = its rank among kept
-    dest = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
-    count = jnp.minimum(dest[-1] + 1, capacity).astype(jnp.int32)
-    dest = jnp.where(flat_keep & (dest < capacity), dest, capacity)  # OOB drop
-    out = jnp.full((capacity + 1, flat_vals.shape[-1]), PAD_COORD,
-                   dtype=flat_vals.dtype)
-    out = out.at[dest].set(flat_vals, mode="drop")
-    return out[:capacity], count
+    if flat_keep.shape[0] < capacity:  # capacity bucketing may overshoot n
+        pad = capacity - flat_keep.shape[0]
+        flat_keep = jnp.pad(flat_keep, (0, pad))
+        flat_vals = jnp.pad(flat_vals, ((0, pad), (0, 0)),
+                            constant_values=PAD_COORD)
+    count = jnp.minimum(jnp.sum(flat_keep, dtype=jnp.int32), capacity)
+    # stable argsort puts kept elements first in original (row-major) order
+    order = jnp.argsort(~flat_keep, stable=True)[:capacity]
+    out = flat_vals[order]
+    slot_valid = jnp.arange(capacity) < count
+    out = jnp.where(slot_valid[:, None], out, PAD_COORD)
+    return out, count
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "capacity", "num_bins"))
@@ -160,16 +167,21 @@ def repack_padded(
     Returns ((total_capacity, K), total count).
     """
     s, c, k = values.shape
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(counts.astype(jnp.int32))])
     local = jnp.arange(c, dtype=jnp.int32)[None, :]
-    valid = local < counts[:, None]
-    dest = offsets[:-1, None] + local
-    dest = jnp.where(valid & (dest < total_capacity), dest, total_capacity)
-    out = jnp.full((total_capacity + 1, k), PAD_COORD, dtype=values.dtype)
-    out = out.at[dest.reshape(-1)].set(values.reshape(-1, k), mode="drop")
-    total = jnp.minimum(offsets[-1], total_capacity).astype(jnp.int32)
-    return out[:total_capacity], total
+    valid = (local < counts[:, None]).reshape(-1)
+    total = jnp.minimum(jnp.sum(counts.astype(jnp.int32)),
+                        total_capacity).astype(jnp.int32)
+    flat = values.reshape(s * c, k)
+    if s * c < total_capacity:
+        pad = total_capacity - s * c
+        valid = jnp.pad(valid, (0, pad))
+        flat = jnp.pad(flat, ((0, pad), (0, 0)), constant_values=PAD_COORD)
+    # sort-based compaction (see compact_masked): valid-first, stable
+    order = jnp.argsort(~valid, stable=True)[:total_capacity]
+    out = flat[order]
+    slot_valid = jnp.arange(total_capacity) < total
+    out = jnp.where(slot_valid[:, None], out, PAD_COORD)
+    return out, total
 
 
 @functools.partial(jax.jit, static_argnames=("num_bins",))
