@@ -235,7 +235,14 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     row_angle[row] = meta[4];
     if (row == 0) *gain_out = meta[3];
 
+    const bool zero_below = !(0.0f > threshold);
     for (int b = 0; b < num_echo; b++) {
+      // fast path: bare "0" cells dominate radar CSVs (only valid while a
+      // zero cannot pass the threshold)
+      if (zero_below && q + 1 < line_end && q[0] == '0' && q[1] == ',') {
+        q += 2;
+        continue;
+      }
       float v = (q < line_end) ? parse_float_fast(&q, line_end) : 0.0f;
       while (q < line_end && *q != ',') q++;
       if (q < line_end) q++;

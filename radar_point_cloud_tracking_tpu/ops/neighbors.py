@@ -36,7 +36,8 @@ __all__ = [
 ]
 
 INT_MAX = np.int32(2**31 - 1)
-_QUERY_CHUNK = 8  # query tiles processed together in a sweep step
+_QUERY_CHUNK = 32  # query tiles per sweep step (lax.map runs chunks
+# sequentially — too-small chunks make per-step overhead dominate)
 
 
 @jax.tree_util.register_pytree_node_class

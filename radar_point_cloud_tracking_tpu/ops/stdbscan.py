@@ -83,7 +83,7 @@ def _cc_step(
     payload = jnp.where(core, label, INT_MAX)
     nbr_min = sweep(index, payload, eps_space, eps_time)
     new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
-    new = jump(jump(new))
+    new = jump(jump(jump(new)))  # jumps are cheap gathers; sweeps are not
     return new, jnp.any(new != label)
 
 
