@@ -193,17 +193,26 @@ class FrameBatchLoader:
         return sweeps
 
     def _convert_chunk_sparse(self, chunk_sweeps, rows):
-        """One device dispatch for several sparse-parsed frames."""
-        from ..ops.geometry import convert_sparse_frames
+        """One device dispatch for several sparse-parsed frames.
+
+        Host buffers are sized to the chunk's own point maximum (power-of-two
+        bucketed) with narrow dtypes, then the device output pads up to the
+        uniform frame capacity — the wire carries only real points.
+        """
+        from ..ops.geometry import PAD_COORD, convert_sparse_frames
 
         nf = len(chunk_sweeps)
         g = max(len(s) for s in chunk_sweeps)
-        c = self.frame_capacity
-        pt_row = np.zeros((nf, c), np.int32)
-        pt_bin = np.zeros((nf, c), np.int32)
+        cap = self.frame_capacity
+        chunk_max = max(1, max(sum(len(s[1]) for s in sweeps)
+                               for sweeps in chunk_sweeps))
+        c = min(cap, 1 << (min(chunk_max, cap) - 1).bit_length())
+        c = max(c, 1024)
+        pt_row = np.zeros((nf, c), np.int16)
+        pt_bin = np.zeros((nf, c), np.int16)
         pt_val = np.zeros((nf, c), np.float32)
-        pt_sweep = np.zeros((nf, c), np.int32)
-        pt_gain = np.zeros((nf, c), np.int32)
+        pt_sweep = np.zeros((nf, c), np.int8)
+        pt_gain = np.zeros((nf, c), np.uint8)
         counts = np.zeros((nf,), np.int32)
         angles = np.zeros((nf, g, rows), np.float32)
         scales = np.zeros((nf, g, rows), np.float32)
@@ -226,7 +235,12 @@ class FrameBatchLoader:
             jnp.asarray(angles), jnp.asarray(scales),
             jnp.float32(self.config.radar.angle_scale),
             self.config.radar.num_echo_columns)
-        return xyi, jnp.asarray(pt_gain), jnp.asarray(counts)
+        gain_dev = jnp.asarray(pt_gain).astype(jnp.int32)
+        if c < cap:  # pad on device up to the uniform frame capacity
+            xyi = jnp.pad(xyi, ((0, 0), (0, cap - c), (0, 0)),
+                          constant_values=PAD_COORD)
+            gain_dev = jnp.pad(gain_dev, ((0, 0), (0, cap - c)))
+        return xyi, gain_dev, jnp.asarray(counts)
 
     # -- chunked sequence -------------------------------------------------
     def _convert_chunk(self, chunk_tables, rows):

@@ -204,6 +204,9 @@ def convert_sparse_frames(
     ``counts``) get PAD_COORD.  Returns (F, C, 3) x, y, intensity.
     """
     f, c = pt_row.shape
+    pt_row = pt_row.astype(jnp.int32)  # inputs may arrive narrow (int16/8)
+    pt_bin = pt_bin.astype(jnp.int32)
+    pt_sweep = pt_sweep.astype(jnp.int32)
     ang_units = jnp.take_along_axis(
         angles_units.reshape(f, -1),
         pt_sweep * angles_units.shape[2] + pt_row, axis=1)
