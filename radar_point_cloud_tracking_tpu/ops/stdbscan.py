@@ -83,7 +83,23 @@ def _cc_step(
     payload = jnp.where(core, label, INT_MAX)
     nbr_min = sweep(index, payload, eps_space, eps_time)
     new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
-    new = jump(jump(jump(new)))  # jumps are cheap gathers; sweeps are not
+
+    # Pointer-jump to fixpoint: labels are sorted-domain indices, and the
+    # Morton sort makes spatial neighbors index-adjacent, so single jumps
+    # shortcut almost nothing — but each jump halves chain length, so a
+    # handful of rounds of doubling collapses even very long chains.  Jumps
+    # are dense gathers (cheap); sweeps are not.
+    def jump_until(state):
+        lbl, changed, it = state
+        j = jump(lbl)
+        return j, jnp.any(j != lbl), it + 1
+
+    def jump_cond(state):
+        _, changed, it = state
+        return changed & (it < 16)
+
+    new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
+                                   (new, jnp.bool_(True), jnp.int32(0)))
     return new, jnp.any(new != label)
 
 
