@@ -84,11 +84,21 @@ def _cc_step(
     nbr_min = sweep(index, payload, eps_space, eps_time)
     new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
 
-    # Pointer-jump to fixpoint: labels are sorted-domain indices, and the
-    # Morton sort makes spatial neighbors index-adjacent, so single jumps
-    # shortcut almost nothing — but each jump halves chain length, so a
-    # handful of rounds of doubling collapses even very long chains.  Jumps
-    # are dense gathers (cheap); sweeps are not.
+    # Grandparent hooking (FastSV-style): scatter each point's neighborhood
+    # minimum onto its current root slot, so a basin's representative learns
+    # in one sweep what any member saw.  Without this, Morton-adjacent ids
+    # make label chains descend in unit steps and clutter snakes take tens
+    # of sweeps (41 observed) instead of a handful (5).
+    flat_old = payload.reshape(-1)
+    tgt = jnp.where(flat_old < INT_MAX, flat_old, n_sorted)
+    vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
+    root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
+        vals, mode="drop")[:n_sorted]
+    new = jnp.minimum(new, jnp.where(core, root_min.reshape(new.shape),
+                                     INT_MAX))
+
+    # Pointer-jump to fixpoint: each round halves chain lengths; jumps are
+    # dense gathers (cheap), sweeps are not.
     def jump_until(state):
         lbl, changed, it = state
         j = jump(lbl)
