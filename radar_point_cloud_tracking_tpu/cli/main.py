@@ -129,20 +129,37 @@ def build(ctx, input_dir: Path, output_dir: Path, flat: bool, offset: bool,
 
 
 @cli.command("visualize")
-@click.argument("ply_file", type=click.Path(exists=True, path_type=Path))
+@click.argument("ply_path", type=click.Path(exists=True, path_type=Path))
 @click.option("--output", "-o", type=click.Path(path_type=Path),
-              help="Output PNG path.")
+              help="Output PNG path (single-file mode).")
 @click.option("--max-points", type=int, default=1_000_000,
               help="Maximum points to plot.")
 @click.option("--alpha", type=float, default=0.5, help="Marker opacity.")
+@click.option("--raster", is_flag=True,
+              help="Use the device rasterizer instead of matplotlib.")
 @click.pass_context
-def visualize(ctx, ply_file: Path, output: Optional[Path], max_points: int,
-              alpha: float) -> None:
-    """Generate PNG preview from PLY point cloud."""
+def visualize(ctx, ply_path: Path, output: Optional[Path], max_points: int,
+              alpha: float, raster: bool) -> None:
+    """Generate PNG previews from a PLY file or every PLY in a directory."""
+    from ..core.loaders import load_ply
     from ..viz.plotting import plot_ply_preview
+    from ..viz.raster import render_scatter_png
 
-    out = plot_ply_preview(ply_file, output, max_points, alpha)
-    click.echo(f"Preview saved to {out}")
+    targets = (sorted(ply_path.glob("*.ply")) if ply_path.is_dir()
+               else [ply_path])
+    if not targets:
+        click.echo("No PLY files found.")
+        return
+    for ply_file in targets:
+        if raster:
+            cloud = load_ply(ply_file)
+            out = render_scatter_png(
+                output or ply_file.with_suffix(".png"),
+                cloud.x, cloud.y, colors=cloud.colors)
+        else:
+            out = plot_ply_preview(ply_file, output if len(targets) == 1
+                                   else None, max_points, alpha)
+        click.echo(f"Preview saved to {out}")
 
 
 @cli.command("cluster")
