@@ -18,6 +18,16 @@ from .loaders import (  # noqa: F401
     load_radar_sweep_simple,
     load_radar_table,
 )
+from .transforms import (  # noqa: F401
+    apply_stride,
+    apply_z_offset,
+    gain_to_colors,
+    intensity_to_colors,
+    polar_to_cartesian,
+    subsample_cloud,
+    sweep_to_point_cloud,
+    sweep_to_points_simple,
+)
 from .writers import (  # noqa: F401
     ply_header,
     write_cartesian_csv,
