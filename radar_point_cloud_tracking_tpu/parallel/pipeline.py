@@ -61,6 +61,8 @@ def sharded_tracking_step(
     eps_space: float,
     eps_time: float,
     min_samples: int,
+    min_frames: int = 1,
+    border_mode: str = "always",
     grid_cells: Tuple[int, int] = (64, 64),
     land_persistence: float = 0.8,
     land_min_intensity: float = 100.0,
@@ -82,6 +84,7 @@ def sharded_tracking_step(
     """
     n_dev = mesh.devices.size
     halo_k = max(1, int(np.floor(eps_time)))
+    n_offsets = int(np.floor(eps_time)) if min_frames > 1 else 0
     nx, ny = grid_cells
 
     def body(xyi, count, frame_ids):
@@ -148,8 +151,11 @@ def sharded_tracking_step(
         et = jnp.float32(eps_time)
 
         # ---- core mask: local compute + halo exchange -------------------
-        degree, _ = neighbor_core_stats(index, es, et, n_offsets=0)
+        degree, frame_count = neighbor_core_stats(index, es, et,
+                                                  n_offsets=n_offsets)
         core_sorted = index.valid & (degree >= min_samples)
+        if min_frames > 1:
+            core_sorted = core_sorted & (frame_count >= min_frames)
         # unsort to the (ft, c) layout
         nt = index.num_tiles * index.tile
         core_flat = jnp.zeros((ft * c,), bool).at[index.perm].set(
@@ -216,7 +222,19 @@ def sharded_tracking_step(
         num_clusters = rank[size - 1] + 1 - presence[size - 1]
 
         # ---- border attachment ------------------------------------------
-        border_key = sweep_min(label)  # min comp key over core neighbors
+        if border_mode == "if_earlier":
+            # denoiser scan-order semantics: clusters may only claim border
+            # points scanned after their creation, except direct neighbors of
+            # the cluster's root core (see ops/stdbscan.py)
+            is_root = core_all & (label == gidx)
+            payload = to_sorted(jnp.where(core_all, label, INT_MAX))
+            border_key = from_sorted(neighbor_min_sweep(
+                index, payload, es, et,
+                query_limit=to_sorted(gidx),
+                bypass_limit=to_sorted(is_root.astype(jnp.int32)) > 0,
+                use_limit=True))
+        else:
+            border_key = sweep_min(label)  # min comp key over core neighbors
         final_flat = jnp.where(
             core_all, rank[jnp.clip(label, 0, size - 1)],
             jnp.where(pvalid & (border_key < INT_MAX),

@@ -90,6 +90,28 @@ def test_sharded_step_matches_single_chip(mesh8):
                                   np.asarray(want_state.type_code))
 
 
+def test_sharded_denoise_semantics_match_single_chip(mesh8):
+    """min_frames + if_earlier border semantics across shards == single chip."""
+    xyi, count, frame_ids = _synthetic_frames(seed=3)
+    step = sharded_tracking_step(
+        mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES, min_frames=2,
+        border_mode="if_earlier", land_persistence=2.0, tile=128,
+        max_sweeps=32)
+    labels, num_clusters, state, records = step(
+        jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
+
+    f, c, _ = xyi.shape
+    valid = np.arange(c)[None, :] < count[:, None]
+    want, want_k = st_dbscan_device(
+        jnp.asarray(xyi[..., :2].reshape(f * c, 2)),
+        jnp.asarray(np.repeat(frame_ids.astype(np.float32), c)),
+        jnp.asarray(valid.reshape(-1)), EPS_SPACE, EPS_TIME, MIN_SAMPLES,
+        min_frames=2, border_mode="if_earlier", tile=128)
+    np.testing.assert_array_equal(
+        np.asarray(labels), np.asarray(want).reshape(f, c))
+    assert int(num_clusters) == int(want_k)
+
+
 def test_sharded_step_with_land_filter_runs(mesh8):
     """Smoke: the psum'd occupancy-grid land filter executes and removes the
     high-intensity persistent returns (persistence is point-count based like
