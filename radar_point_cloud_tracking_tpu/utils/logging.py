@@ -35,9 +35,10 @@ def banner(title: str, step: Optional[Tuple[int, int]] = None) -> str:
     return f"{prefix}{title}"
 
 
-def print_summary(title: str, rows: Dict[str, str],
-                  stream=sys.stdout) -> None:
+def print_summary(title: str, rows: Dict[str, str], stream=None) -> None:
     """Box-drawn key/value summary."""
+    if stream is None:  # bind at call time so output redirection works
+        stream = sys.stdout
     width = max([len(title)] + [len(k) + len(str(v)) + 3
                                 for k, v in rows.items()]) + 2
     print("┌" + "─" * width + "┐", file=stream)
