@@ -308,5 +308,26 @@ def fuse(ctx, mode: str, data_dir: Path, output_dir: Path, max_frames: int,
         click.echo(f"Wrote {len(outputs)} comparison PLYs.")
 
 
+@cli.command("experiment")
+@click.option("--data-dir", type=click.Path(exists=True, path_type=Path),
+              required=True, help="Directory containing gain_XX folders.")
+@click.option("--output-dir", type=click.Path(path_type=Path), required=True)
+@click.option("--max-frames", type=int, default=10)
+@click.option("--quick", is_flag=True,
+              help="Run only the default parameter set.")
+@click.pass_context
+def experiment(ctx, data_dir: Path, output_dir: Path, max_frames: int,
+               quick: bool) -> None:
+    """Run the ST-DBSCAN parameter-comparison experiment sweep
+    (JSON + LaTeX report + summary charts)."""
+    from ..experiments.harness import DEFAULT_EXPERIMENTS, run_experiments
+
+    specs = DEFAULT_EXPERIMENTS[:1] if quick else DEFAULT_EXPERIMENTS
+    results = run_experiments(data_dir, output_dir, specs,
+                              max_frames=max_frames,
+                              config=_load_config(ctx))
+    click.echo(f"Completed {len(results)} experiments -> {output_dir}")
+
+
 if __name__ == "__main__":
     cli()

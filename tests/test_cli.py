@@ -22,7 +22,7 @@ def test_version(runner):
 
 @pytest.mark.parametrize("cmd", [
     "sort-by-gain", "filter-range", "convert", "build", "visualize",
-    "cluster", "track", "denoise", "fuse",
+    "cluster", "track", "denoise", "fuse", "experiment",
 ])
 def test_subcommand_help(runner, cmd):
     result = runner.invoke(cli, [cmd, "--help"])
