@@ -225,45 +225,48 @@ class TrackingPipeline:
         timer = StageTimer(verbose=self.verbose)
         f = ingested.num_frames
         c = ingested.capacity
-        valid = ingested.valid_mask()
-        flat_xy = ingested.xyi[..., :2].reshape(f * c, 2)
-        flat_int = ingested.xyi[..., 2].reshape(f * c)
-        flat_valid = valid.reshape(f * c)
 
-        # ---- land filter ------------------------------------------------
+        # ---- tight pre-filter buffer ------------------------------------
+        # compact the padded frame buffers down to actual points FIRST so
+        # every later scatter/sweep works on ~N instead of F*C padded slots
+        with timer.stage("repack"):
+            raw_total = int(jnp.sum(ingested.count))
+            cap0 = 1 << max(10, (max(raw_total, 1) - 1).bit_length())
+            points0, n_raw = _flatten_and_compact(
+                ingested.xyi, ingested.gain, ingested.count,
+                jnp.asarray(ingested.frame_ids),
+                ingested.valid_mask().reshape(f * c), cap0)
+
+        # ---- land filter --------------------------------------------------
         land_cells = 0
         removed = 0
         lf = cfg.land_filter
+        valid0 = jnp.arange(cap0) < n_raw
         if not skip_land_filter and f > lf.min_frames_required:
             with timer.stage("land_filter"):
-                bounds = _bounds(flat_xy, flat_valid)  # device reduce, 4 scalars
+                bounds = _bounds(points0[:, :2], valid0)
                 x_min, y_min, x_max, y_max = [float(b) for b in bounds]
                 x_edges = grid_ops.make_edges(x_min, x_max, lf.grid_resolution_m)
                 y_edges = grid_ops.make_edges(y_min, y_max, lf.grid_resolution_m)
                 nx, ny = len(x_edges) - 1, len(y_edges) - 1
                 keep, n_land = _land_keep(
-                    flat_xy, flat_int, flat_valid,
+                    points0[:, :2], points0[:, 2], valid0,
                     jnp.asarray(x_edges, jnp.float32),
                     jnp.asarray(y_edges, jnp.float32), nx, ny,
                     jnp.int32(f), jnp.float32(lf.persistence_threshold),
                     jnp.float32(lf.min_intensity))
+                total = int(jnp.sum(keep))
                 if self.verbose:  # scalar syncs cost a tunnel round-trip
                     land_cells = int(n_land)
-                    removed = int(jnp.sum(flat_valid)) - int(jnp.sum(keep))
+                    removed = raw_total - total
                     self._log(f"  Identified {land_cells} land cells; removed "
                               f"{removed:,} land points")
+                capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
+                points, n_points = compact_masked(points0, keep, capacity)
+                n_points = int(n_points)
         else:
-            keep = flat_valid
             self._log("  Skipping land filter")
-
-        # ---- tight buffer + clustering ---------------------------------
-        with timer.stage("repack"):
-            total = int(jnp.sum(keep))
-            capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
-            points, n_points = _flatten_and_compact(
-                ingested.xyi, ingested.gain, ingested.count,
-                jnp.asarray(ingested.frame_ids), keep, capacity)
-            n_points = int(n_points)
+            points, n_points, capacity = points0, raw_total, cap0
 
         with timer.stage("st_dbscan"):
             pvalid = jnp.arange(capacity) < n_points
