@@ -6,7 +6,6 @@ from .containers import (  # noqa: F401
     PointCloud,
     RadarFrame,
     RadarSweep,
-    SweepBatch,
     TrackedObject,
 )
 from .loaders import (  # noqa: F401

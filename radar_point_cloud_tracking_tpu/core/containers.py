@@ -3,8 +3,8 @@
 Host-side containers mirror the reference data model
 (radar-pipeline core/loaders.py:15-43 ``RadarSweep``/``PointCloud``;
 PointCloudWork/4_temporal_object_tracker.py:97-159 ``RadarFrame``/``TrackedObject``/
-``Cluster``).  Device-side batching uses ``SweepBatch``/``FramePoints`` — fixed
-capacity arrays with validity masks so every shape is static under ``jax.jit``.
+``Cluster``).  Device-side batching uses ``FramePoints`` — fixed-capacity
+arrays with validity masks so every shape is static under ``jax.jit``.
 """
 
 from __future__ import annotations
@@ -22,7 +22,6 @@ __all__ = [
     "RadarFrame",
     "Cluster",
     "TrackedObject",
-    "SweepBatch",
     "FramePoints",
 ]
 
@@ -147,25 +146,6 @@ class TrackedObject:
 # ---------------------------------------------------------------------------
 # Device-side batched containers (static shapes for jit)
 # ---------------------------------------------------------------------------
-
-
-@dataclass
-class SweepBatch:
-    """A batch of raw sweeps padded to static shape for device processing.
-
-    Shapes: ``angles_rad`` (B, A), ``scale`` (B, A), ``echo`` (B, A, NBins),
-    ``row_valid`` (B, A) — padding rows have ``row_valid`` False.
-    """
-
-    angles_rad: np.ndarray
-    scale: np.ndarray
-    echo: np.ndarray
-    row_valid: np.ndarray
-    gains: np.ndarray  # (B,) int32 per-sweep gain
-
-    @property
-    def batch(self) -> int:
-        return int(self.echo.shape[0])
 
 
 @dataclass
