@@ -190,3 +190,29 @@ def test_full_pipeline_writes_artifacts(gain_dataset, tmp_path):
     traj = pd.read_csv(out / "trajectories.csv")
     assert set(traj.columns) == {"object_id", "object_type", "frame_id", "x", "y"}
     assert len(traj) > 0
+
+
+def test_full_pipeline_with_visualizations(gain_dataset, tmp_path):
+    """End-to-end incl. the viz suite (frame plots + summary)."""
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.radar.num_echo_columns = 64
+    out = tmp_path / "viz_results"
+    run_tracking_pipeline(
+        gain_dataset, out, eps_space=EPS_SPACE, eps_time=EPS_TIME,
+        min_samples=MIN_SAMPLES, intensity_threshold=THRESHOLD,
+        point_stride=STRIDE, config=cfg, verbose=False, visualize=True)
+    assert (out / "tracking_summary.png").exists()
+    frames = list((out / "visualizations").glob("frame_*.png"))
+    assert len(frames) >= 1
+
+
+def test_load_points_auto(gain_dataset, sample_cartesian_csv):
+    from radar_point_cloud_tracking_tpu.config import RadarConfig
+
+    cart = rpt.load_points_auto(sample_cartesian_csv)
+    assert cart.size == 3
+    radar_csv = next(iter((gain_dataset / "gain_40").glob("*.csv")))
+    cloud = rpt.load_points_auto(radar_csv, RadarConfig(num_echo_columns=64))
+    assert cloud.size > 0
