@@ -255,21 +255,20 @@ class TrackingPipeline:
                     jnp.asarray(y_edges, jnp.float32), nx, ny,
                     jnp.int32(f), jnp.float32(lf.persistence_threshold),
                     jnp.float32(lf.min_intensity))
-                total = int(jnp.sum(keep))
-                if self.verbose:  # scalar syncs cost a tunnel round-trip
+                total = int(jnp.sum(keep))  # sync: sizes the cluster buffer
+                if self.verbose:
                     land_cells = int(n_land)
                     removed = raw_total - total
                     self._log(f"  Identified {land_cells} land cells; removed "
                               f"{removed:,} land points")
                 capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
                 points, n_points = compact_masked(points0, keep, capacity)
-                n_points = int(n_points)
         else:
             self._log("  Skipping land filter")
-            points, n_points, capacity = points0, raw_total, cap0
+            points, n_points, capacity = points0, n_raw, cap0
 
         with timer.stage("st_dbscan"):
-            pvalid = jnp.arange(capacity) < n_points
+            pvalid = jnp.arange(capacity) < n_points  # device scalar compare
             use_pallas = (cfg.device.use_pallas
                           and jax.default_backend() == "tpu")
             labels, num_clusters = st_dbscan_device(
@@ -280,6 +279,7 @@ class TrackingPipeline:
                 max_sweeps=cfg.clustering.max_label_sweeps,
                 use_pallas=use_pallas)
             num_clusters = int(num_clusters)
+            n_points = int(n_points)  # pulled after the clustering dispatch
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 
         # ---- per-frame cluster stats ------------------------------------
