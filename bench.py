@@ -49,14 +49,14 @@ def _dataset(num_frames: int) -> Path:
     from radar_point_cloud_tracking_tpu.experiments.synthetic import (
         SceneConfig, generate_scene_dataset)
 
-    sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v3"
+    sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v4"
     data_dir = Path(__file__).resolve().parent / ".bench_data" / sig
     if (data_dir / "gain_75").is_dir():
         log(f"dataset cache hit: {data_dir}")
         return data_dir
     cfg = SceneConfig(num_frames=num_frames, num_rows=NUM_ROWS,
                       num_bins=NUM_BINS, num_boats=4, num_buoys=5,
-                      noise_rate=0.004, seed=7)
+                      noise_rate=0.008, seed=7)
     t0 = time.perf_counter()
     generate_scene_dataset(data_dir, cfg)
     log(f"synthetic dataset ({num_frames} frames x 3 gains, "
@@ -167,7 +167,7 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
 
 def main():
     num_frames = int(os.environ.get("BENCH_FRAMES", "100"))
-    cpu_frames = min(int(os.environ.get("BENCH_CPU_FRAMES", "30")), num_frames)
+    cpu_frames = min(int(os.environ.get("BENCH_CPU_FRAMES", "20")), num_frames)
 
     import jax.numpy as jnp
 
