@@ -17,15 +17,15 @@ import os as _os
 # Persistent XLA compilation cache: the tunneled TPU compiler costs tens of
 # seconds per program, the cache brings warm starts down to ~1s.  Opt out
 # with RADAR_TPU_NO_COMPILE_CACHE=1.
-if _os.environ.get("RADAR_TPU_NO_COMPILE_CACHE", "0") != "1":
+if (_os.environ.get("RADAR_TPU_NO_COMPILE_CACHE", "0") != "1"
+        and "cpu" not in _os.environ.get("JAX_PLATFORMS", "")):
+    # TPU only: local CPU compiles are fast, and cached CPU AOT artifacts
+    # from other machines trigger feature-mismatch fallbacks
     import jax as _jax
 
-    # per-platform cache dirs (AOT artifacts are machine-specific)
-    _plat = "cpu" if "cpu" in _os.environ.get("JAX_PLATFORMS", "") else "tpu"
     _cache_dir = _os.environ.get(
         "RADAR_TPU_COMPILE_CACHE",
-        _os.path.join(_os.path.dirname(__file__), "..",
-                      f".jax_cache_{_plat}"))
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache_tpu"))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
