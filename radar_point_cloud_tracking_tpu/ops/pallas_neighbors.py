@@ -259,3 +259,147 @@ def core_stats_pallas(
     bits = bits.reshape(nt, t)
     frame_count = _popcount(bits) if n_offsets > 0 else jnp.zeros_like(deg)
     return deg, frame_count
+
+
+# ---------------------------------------------------------------------------
+# Manual-DMA variant: unbounded candidate tables
+# ---------------------------------------------------------------------------
+#
+# The scalar-prefetch kernels above keep the whole (Ntiles, K) candidate
+# table in SMEM, which caps problem size (~1 MB SMEM).  This variant streams
+# candidates per query tile: the kernel DMAs its own candidate row from HBM
+# into SMEM, then double-buffers candidate planes HBM -> VMEM while the VPU
+# evaluates the previous tile's pair predicate.
+
+
+def _make_dma_min_kernel(k_pad: int, tile: int):
+    def kernel(count_ref, cand_hbm, fplanes_hbm, iplanes_hbm,
+               qf_ref, qi_ref, eps_ref, out_ref,
+               cand_smem, fbuf, ibuf, acc, sems, row_sem):
+        q = pl.program_id(0)
+
+        # candidate row: HBM -> SMEM ((1, K) slice covers the full trailing
+        # dims, which Mosaic requires for leading-dim slicing)
+        row = pltpu.make_async_copy(cand_hbm.at[q], cand_smem, row_sem)
+        row.start()
+        row.wait()
+
+        n = count_ref[q]
+        eps2 = eps_ref[0, 0]
+        eps_t = eps_ref[0, 1]
+
+        xq = qf_ref[0, 0]
+        yq = qf_ref[0, 1]
+        tq = qf_ref[0, 2]
+        vq = qi_ref[0, 0]
+
+        def start_fetch(slot, k):
+            c = cand_smem[0, k]
+            f = pltpu.make_async_copy(fplanes_hbm.at[c], fbuf.at[slot],
+                                      sems.at[slot, 0])
+            i = pltpu.make_async_copy(iplanes_hbm.at[c], ibuf.at[slot],
+                                      sems.at[slot, 1])
+            f.start()
+            i.start()
+
+        def wait_fetch(slot, k):
+            c = cand_smem[0, k]
+            pltpu.make_async_copy(fplanes_hbm.at[c], fbuf.at[slot],
+                                  sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(iplanes_hbm.at[c], ibuf.at[slot],
+                                  sems.at[slot, 1]).wait()
+
+        acc[...] = jnp.full_like(acc, INT_MAX)
+
+        @pl.when(n > 0)
+        def _():
+            start_fetch(0, 0)
+
+            def body(k, _):
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < n)
+                def _():
+                    start_fetch(jax.lax.rem(k + 1, 2), k + 1)
+
+                wait_fetch(slot, k)
+                xc = fbuf[slot, 0]
+                yc = fbuf[slot, 1]
+                tc = fbuf[slot, 2]
+                vc = ibuf[slot, 0]
+                pay = ibuf[slot, 1]
+                dx = xq[:, None] - xc[None, :]
+                dy = yq[:, None] - yc[None, :]
+                dt = tc[None, :] - tq[:, None]
+                mask = ((dx * dx + dy * dy <= eps2)
+                        & (jnp.abs(dt) <= eps_t)
+                        & (vq[:, None] > 0) & (vc[None, :] > 0))
+                cand_min = jnp.min(jnp.where(mask, pay[None, :], INT_MAX),
+                                   axis=1)
+                acc[0] = jnp.minimum(acc[0], cand_min)
+                return 0
+
+            jax.lax.fori_loop(0, n, body, 0)
+
+        out_ref[0, 0] = acc[0]
+
+    return kernel
+
+
+@jax.jit
+def min_sweep_pallas_dma(
+    index: SpatialIndex,
+    payload: jnp.ndarray,  # (Ntiles, T) int32
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+) -> jnp.ndarray:
+    """Manual-DMA min sweep (2D coords, no limit variant): candidate table
+    stays in HBM, tiles stream through double-buffered VMEM scratch."""
+    nt, t = index.num_tiles, index.tile
+    k_pad = index.cand_idx.shape[1]
+
+    # packed candidate planes: one f32 stack (x, y, t), one i32 (valid,
+    # pay) — padded to 8 rows so Mosaic can slice the leading dim (sublane
+    # alignment)
+    zf = jnp.zeros_like(index.times)
+    fplanes = jnp.stack([index.coords[..., 0], index.coords[..., 1],
+                         index.times, zf, zf, zf, zf, zf],
+                        axis=1)  # (nt, 8, T)
+    zi = jnp.zeros_like(payload)
+    iplanes = jnp.stack([index.valid.astype(jnp.int32), payload,
+                         zi, zi, zi, zi, zi, zi], axis=1)  # (nt, 8, T)
+    eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+
+    q_spec_f = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
+    q_spec_i = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # cand_count
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cand_idx stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # fplanes stay in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # iplanes stay in HBM
+            q_spec_f,  # query f32 planes (pipelined to VMEM)
+            q_spec_i,  # query i32 planes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps scalars
+        ],
+        out_specs=pl.BlockSpec((1, 1, t), lambda q, cnt: (q, 0, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((1, k_pad), jnp.int32),
+            pltpu.VMEM((2, 8, t), jnp.float32),
+            pltpu.VMEM((2, 8, t), jnp.int32),
+            pltpu.VMEM((1, t), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    out = pl.pallas_call(
+        _make_dma_min_kernel(k_pad, t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+        interpret=_interpret(),
+    )(index.cand_count, index.cand_idx.reshape(nt, 1, k_pad),
+      fplanes, iplanes, fplanes, iplanes, eps)
+    return out.reshape(nt, t)

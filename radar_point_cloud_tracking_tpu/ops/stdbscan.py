@@ -114,18 +114,27 @@ def _cc_step(
 
 
 def _min_sweep_impl(use_pallas: bool):
-    if use_pallas:
-        from .pallas_neighbors import min_sweep_pallas
+    if not use_pallas:
+        return neighbor_min_sweep
+    from .pallas_neighbors import min_sweep_pallas_dma
 
-        return min_sweep_pallas
-    return neighbor_min_sweep
+    def sweep(index, payload, eps_space, eps_time, query_limit=None,
+              bypass_limit=None, use_limit=False):
+        # the manual-DMA kernel covers the hot case (2D, unthresholded);
+        # the thresholded border sweep and 3D coords fall back to XLA
+        if use_limit or index.coords.shape[-1] != 2:
+            return neighbor_min_sweep(index, payload, eps_space, eps_time,
+                                      query_limit=query_limit,
+                                      bypass_limit=bypass_limit,
+                                      use_limit=use_limit)
+        return min_sweep_pallas_dma(index, payload, eps_space, eps_time)
+
+    return sweep
 
 
 def _core_stats_impl(use_pallas: bool):
-    if use_pallas:
-        from .pallas_neighbors import core_stats_pallas
-
-        return core_stats_pallas
+    # one sweep per clustering; the XLA engine is fine and avoids the
+    # SMEM-table limit of the scalar-prefetch stats kernel
     return neighbor_core_stats
 
 
@@ -223,12 +232,6 @@ def st_dbscan_device(
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size)
     n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
-    if use_pallas:
-        # the scalar-prefetched candidate table lives in SMEM (~1 MB);
-        # oversized problems fall back to the XLA-composed sweeps
-        table_bytes = index.cand_idx.size * 4 + index.cand_count.size * 4
-        if table_bytes > 400_000:
-            use_pallas = False
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
         int(min_samples), int(min_frames), n_offsets, border_mode,
