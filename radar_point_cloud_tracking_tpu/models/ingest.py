@@ -10,7 +10,9 @@ and device-side repacking into fixed-capacity per-frame buffers.
 
 from __future__ import annotations
 
+import os
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -75,6 +77,7 @@ class FrameBatchLoader:
         frame_capacity: int = 262_144,
         verbose: bool = True,
         sparse: Optional[bool] = None,
+        parse_workers: Optional[int] = None,
     ) -> None:
         self.config = config or PipelineConfig()
         self.threshold = (self.config.fusion.intensity_threshold
@@ -90,6 +93,11 @@ class FrameBatchLoader:
         from .. import native as _native
 
         self.sparse = _native.HAVE_NATIVE if sparse is None else sparse
+        # host parse parallelism: the native parser releases the GIL (ctypes
+        # CDLL), so a thread pool scales CSV parsing across host cores while
+        # the main thread feeds the device in frame order
+        self.parse_workers = (min(8, os.cpu_count() or 1)
+                              if parse_workers is None else max(1, parse_workers))
 
     # -- single frame -----------------------------------------------------
     def load_frame_tables(self, frame_files: Dict[int, Path]) -> List[Tuple[int, np.ndarray]]:
@@ -317,19 +325,39 @@ class FrameBatchLoader:
             pending = []
             pending_shape = None
 
-        for i, ff in enumerate(frame_files_list):
+        parse_one = (self.parse_frame_sparse if self.sparse
+                     else self.load_frame_tables)
+
+        def parsed_stream():
+            """Yield (i, ff, parsed) in frame order, parsing ahead on a
+            thread pool (native parse releases the GIL; window bounds RAM)."""
+            if self.parse_workers <= 1 or len(frame_files_list) <= 1:
+                for i, ff in enumerate(frame_files_list):
+                    yield i, ff, parse_one(ff)
+                return
+            window = 2 * self.parse_workers
+            with ThreadPoolExecutor(self.parse_workers) as pool:
+                futs: list = []
+                it = iter(enumerate(frame_files_list))
+                for i, ff in it:
+                    futs.append((i, ff, pool.submit(parse_one, ff)))
+                    if len(futs) >= window:
+                        break
+                while futs:
+                    i, ff, fut = futs.pop(0)
+                    yield i, ff, fut.result()
+                    for j, ff2 in it:
+                        futs.append((j, ff2, pool.submit(parse_one, ff2)))
+                        break
+
+        for i, ff, parsed in parsed_stream():
+            if not parsed:
+                continue
             if self.sparse:
-                parsed = self.parse_frame_sparse(ff)
-                if parsed is None:
-                    continue
                 rows = _bucket(max(len(s[4]) for s in parsed))
-                shape = (len(parsed), rows)
             else:
-                parsed = self.load_frame_tables(ff)
-                if not parsed:
-                    continue
                 rows = _bucket(max(t.shape[0] for _, t in parsed))
-                shape = (len(parsed), rows)
+            shape = (len(parsed), rows)
             first = sorted(ff)[0]
             try:
                 _, ts_ms = parse_timestamp(ff[first].name)
