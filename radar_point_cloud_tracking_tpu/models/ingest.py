@@ -178,7 +178,7 @@ class FrameBatchLoader:
         total = 0
         for gain in sorted(frame_files):
             try:
-                rows_a, bins_a, vals_a, angles, scales, _ = \
+                rows_a, bins_a, vals_a, angles, scales, _, u8_ok = \
                     native.parse_radar_points(
                         frame_files[gain], num_bins,
                         float(self.threshold), int(self.stride),
@@ -189,7 +189,8 @@ class FrameBatchLoader:
                 continue
             if angles.shape[0] == 0:
                 continue
-            sweeps.append((gain, rows_a, bins_a, vals_a, angles, scales))
+            sweeps.append((gain, rows_a, bins_a, vals_a, angles, scales,
+                           u8_ok))
             total += len(rows_a)
         if not sweeps:
             return None
@@ -204,10 +205,16 @@ class FrameBatchLoader:
         """One device dispatch for several sparse-parsed frames.
 
         Host buffers are sized to the chunk's own point maximum (power-of-two
-        bucketed) with narrow dtypes, then the device output pads up to the
-        uniform frame capacity — the wire carries only real points.
+        bucketed), then the device output pads up to the uniform frame
+        capacity — the wire carries only real points.  The tunnel to the
+        device is bandwidth-bound, so each point ships as ONE packed int32
+        (sweep, row, bin) plus a uint8 echo when the parser proved echoes
+        integral in [0, 255] (5 B/point); per-point gain is reconstructed on
+        device from a per-sweep table.  Falls back to the wide layout when
+        the index fields overflow 31 bits or echoes need float precision.
         """
-        from ..ops.geometry import PAD_COORD, convert_sparse_frames
+        from ..ops.geometry import (PAD_COORD, convert_sparse_frames,
+                                    convert_sparse_frames_packed)
 
         nf = len(chunk_sweeps)
         g = max(len(s) for s in chunk_sweeps)
@@ -216,34 +223,67 @@ class FrameBatchLoader:
                                for sweeps in chunk_sweeps))
         c = min(cap, 1 << (min(chunk_max, cap) - 1).bit_length())
         c = max(c, 1024)
-        pt_row = np.zeros((nf, c), np.int16)
-        pt_bin = np.zeros((nf, c), np.int16)
-        pt_val = np.zeros((nf, c), np.float32)
-        pt_sweep = np.zeros((nf, c), np.int8)
-        pt_gain = np.zeros((nf, c), np.uint8)
+        num_bins = self.config.radar.num_echo_columns
+        bin_bits = max(1, (num_bins - 1).bit_length())
+        row_bits = max(1, (rows - 1).bit_length())
+        sweep_bits = max(1, (g - 1).bit_length())
+        packed_ok = sweep_bits + row_bits + bin_bits <= 31
+        u8_ok = all(s[6] for sweeps in chunk_sweeps for s in sweeps)
+
         counts = np.zeros((nf,), np.int32)
         angles = np.zeros((nf, g, rows), np.float32)
         scales = np.zeros((nf, g, rows), np.float32)
-        for fi, sweeps in enumerate(chunk_sweeps):
-            off = 0
-            for si, (gain, rows_a, bins_a, vals_a, ang, sc) in enumerate(sweeps):
-                n = min(len(rows_a), c - off)
-                pt_row[fi, off:off + n] = rows_a[:n]
-                pt_bin[fi, off:off + n] = bins_a[:n]
-                pt_val[fi, off:off + n] = vals_a[:n]
-                pt_sweep[fi, off:off + n] = si
-                pt_gain[fi, off:off + n] = gain
-                angles[fi, si, :len(ang)] = ang
-                scales[fi, si, :len(sc)] = sc
-                off += n
-            counts[fi] = off
-        xyi = convert_sparse_frames(
-            jnp.asarray(pt_row), jnp.asarray(pt_bin), jnp.asarray(pt_val),
-            jnp.asarray(pt_sweep), jnp.asarray(counts),
-            jnp.asarray(angles), jnp.asarray(scales),
-            jnp.float32(self.config.radar.angle_scale),
-            self.config.radar.num_echo_columns)
-        gain_dev = jnp.asarray(pt_gain).astype(jnp.int32)
+        if packed_ok:
+            pt_key = np.zeros((nf, c), np.int32)
+            pt_val = np.zeros((nf, c), np.uint8 if u8_ok else np.float32)
+            gain_table = np.zeros((nf, g), np.int32)
+            for fi, sweeps in enumerate(chunk_sweeps):
+                off = 0
+                for si, (gain, rows_a, bins_a, vals_a, ang, sc, _) \
+                        in enumerate(sweeps):
+                    n = min(len(rows_a), c - off)
+                    pt_key[fi, off:off + n] = (
+                        (si << (row_bits + bin_bits))
+                        | (rows_a[:n].astype(np.int32) << bin_bits)
+                        | bins_a[:n])
+                    pt_val[fi, off:off + n] = vals_a[:n]
+                    gain_table[fi, si] = gain
+                    angles[fi, si, :len(ang)] = ang
+                    scales[fi, si, :len(sc)] = sc
+                    off += n
+                counts[fi] = off
+            xyi, gain_dev = convert_sparse_frames_packed(
+                jnp.asarray(pt_key), jnp.asarray(pt_val), jnp.asarray(counts),
+                jnp.asarray(gain_table), jnp.asarray(angles),
+                jnp.asarray(scales),
+                jnp.float32(self.config.radar.angle_scale),
+                num_bins, row_bits, bin_bits)
+        else:
+            pt_row = np.zeros((nf, c), np.int16)
+            pt_bin = np.zeros((nf, c), np.int16)
+            pt_val = np.zeros((nf, c), np.float32)
+            pt_sweep = np.zeros((nf, c), np.int8)
+            pt_gain = np.zeros((nf, c), np.uint8)
+            for fi, sweeps in enumerate(chunk_sweeps):
+                off = 0
+                for si, (gain, rows_a, bins_a, vals_a, ang, sc, _) \
+                        in enumerate(sweeps):
+                    n = min(len(rows_a), c - off)
+                    pt_row[fi, off:off + n] = rows_a[:n]
+                    pt_bin[fi, off:off + n] = bins_a[:n]
+                    pt_val[fi, off:off + n] = vals_a[:n]
+                    pt_sweep[fi, off:off + n] = si
+                    pt_gain[fi, off:off + n] = gain
+                    angles[fi, si, :len(ang)] = ang
+                    scales[fi, si, :len(sc)] = sc
+                    off += n
+                counts[fi] = off
+            xyi = convert_sparse_frames(
+                jnp.asarray(pt_row), jnp.asarray(pt_bin), jnp.asarray(pt_val),
+                jnp.asarray(pt_sweep), jnp.asarray(counts),
+                jnp.asarray(angles), jnp.asarray(scales),
+                jnp.float32(self.config.radar.angle_scale), num_bins)
+            gain_dev = jnp.asarray(pt_gain).astype(jnp.int32)
         if c < cap:  # pad on device up to the uniform frame capacity
             xyi = jnp.pad(xyi, ((0, 0), (0, cap - c), (0, 0)),
                           constant_values=PAD_COORD)

@@ -82,6 +82,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int),
     ]
     return lib
 
@@ -148,7 +149,11 @@ def parse_radar_points(path: Path, num_echo: int, threshold: float,
     """One-pass parse + threshold + stride compaction.
 
     Returns (rows u16 (P,), bins u16 (P,), vals f32 (P,),
-    angle_units f32 (R,), scale f32 (R,), gain int).
+    angle_units f32 (R,), scale f32 (R,), gain int, u8_ok bool).
+
+    ``u8_ok`` is True when every shipped echo is integral in [0, 255] —
+    the caller may then ship intensities as uint8 with no precision loss
+    (the tunnel to the device is bandwidth-bound).
     """
     assert _lib is not None
     pt_row = np.empty(max_pts, np.uint16)
@@ -158,14 +163,16 @@ def parse_radar_points(path: Path, num_echo: int, threshold: float,
     row_scale = np.zeros(max_rows, np.float32)
     rows_out = ctypes.c_int(0)
     gain_out = ctypes.c_float(0)
+    u8_ok = ctypes.c_int(0)
     n = _lib.parse_radar_points(
         str(path).encode(), num_echo, threshold, stride,
         pt_row.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         pt_bin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         _fptr(pt_val), _fptr(row_angle), _fptr(row_scale),
-        max_rows, max_pts, ctypes.byref(rows_out), ctypes.byref(gain_out))
+        max_rows, max_pts, ctypes.byref(rows_out), ctypes.byref(gain_out),
+        ctypes.byref(u8_ok))
     if n < 0:
         raise IOError(f"parse_radar_points failed for {path}")
     r = rows_out.value
     return (pt_row[:n], pt_bin[:n], pt_val[:n], row_angle[:r], row_scale[:r],
-            int(gain_out.value))
+            int(gain_out.value), bool(u8_ok.value))

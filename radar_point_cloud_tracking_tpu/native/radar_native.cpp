@@ -186,7 +186,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
                        int stride, uint16_t *pt_row, uint16_t *pt_bin,
                        float *pt_val, float *row_angle, float *row_scale,
                        int max_rows, long long max_pts, int *rows_out,
-                       float *gain_out) {
+                       float *gain_out, int *u8_ok_out) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
   struct stat st;
@@ -218,6 +218,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
   int row = 0;
   long long npts = 0;
   long long rank = 0;  // survivor rank for stride selection
+  int u8_ok = 1;  // all shipped echoes integral in [0,255] -> uint8 wire
   if (stride < 1) stride = 1;
 
   while (p < end && row < max_rows) {
@@ -268,6 +269,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
           pt_row[npts] = (uint16_t)row;
           pt_bin[npts] = (uint16_t)b;
           pt_val[npts] = v;
+          u8_ok &= (v >= 0.0f) & (v <= 255.0f) & (v == (float)(int)v);
           npts++;
         }
         rank++;
@@ -279,6 +281,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
 
   munmap((void *)data, size);
   *rows_out = row;
+  if (u8_ok_out) *u8_ok_out = u8_ok;
   return (int)npts;
 }
 
