@@ -33,6 +33,11 @@ def _bucket(n: int, step: int = 1024) -> int:
     return max(step, -(-n // step) * step)
 
 
+# (sweep, row, bin) packed-index budget; tests shrink this to force the wide
+# wire layout
+_PACK_LIMIT_BITS = 31
+
+
 @dataclass
 class IngestedFrames:
     """Device-resident compacted points for a frame sequence.
@@ -227,7 +232,7 @@ class FrameBatchLoader:
         bin_bits = max(1, (num_bins - 1).bit_length())
         row_bits = max(1, (rows - 1).bit_length())
         sweep_bits = max(1, (g - 1).bit_length())
-        packed_ok = sweep_bits + row_bits + bin_bits <= 31
+        packed_ok = sweep_bits + row_bits + bin_bits <= _PACK_LIMIT_BITS
         u8_ok = all(s[6] for sweeps in chunk_sweeps for s in sweeps)
 
         counts = np.zeros((nf,), np.int32)

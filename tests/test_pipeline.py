@@ -216,3 +216,68 @@ def test_load_points_auto(gain_dataset, sample_cartesian_csv):
     radar_csv = next(iter((gain_dataset / "gain_40").glob("*.csv")))
     cloud = rpt.load_points_auto(radar_csv, RadarConfig(num_echo_columns=64))
     assert cloud.size > 0
+
+
+def test_parse_u8_flag_and_float_fallback(tmp_path):
+    """The native parser flags whether echoes fit the uint8 wire; fractional
+    echoes force the float32 wide layout, and both ship exact values."""
+    from radar_point_cloud_tracking_tpu import native
+
+    if not native.HAVE_NATIVE:
+        pytest.skip("native lib unavailable")
+    hdr = "Status,Scale,Range,Gain,Angle," + ",".join(
+        f"Echo_{i}" for i in range(8))
+    f_int = tmp_path / "int.csv"
+    f_int.write_text(hdr + "\n1,496,3,40,0,0,0,12,0,255,0,0,0\n")
+    f_frac = tmp_path / "frac.csv"
+    f_frac.write_text(hdr + "\n1,496,3,40,0,0,0,12.5,0,300.25,0,0,0\n")
+
+    *_, u8_int = native.parse_radar_points(f_int, 8, 0.0, 1, 16, 64)
+    assert u8_int is True
+    r, b, v, *_rest, u8_frac = native.parse_radar_points(
+        f_frac, 8, 0.0, 1, 16, 64)
+    assert u8_frac is False
+    np.testing.assert_array_equal(v, np.float32([12.5, 300.25]))
+
+
+@pytest.mark.parametrize("mode", ["f32_payload", "wide_layout"])
+def test_sparse_packed_fallbacks_identical(gain_dataset, monkeypatch, mode):
+    """Neither fallback (float32 payload; unpacked wide layout) may change
+    any output vs the packed uint8 wire."""
+    from radar_point_cloud_tracking_tpu import native
+    from radar_point_cloud_tracking_tpu.models import ingest as ingest_mod
+
+    if not native.HAVE_NATIVE:
+        pytest.skip("native lib unavailable")
+    frame_files = rpt.group_files_by_frame(rpt.discover_files(gain_dataset))
+
+    def load(force_fallback):
+        loader = FrameBatchLoader(intensity_threshold=THRESHOLD,
+                                  point_stride=STRIDE, verbose=False,
+                                  frame_capacity=4096, sparse=True)
+        loader.config.radar.num_echo_columns = 64
+        if force_fallback:
+            if mode == "wide_layout":
+                # overflow the packed index budget -> wide fallback
+                monkeypatch.setattr(ingest_mod, "_PACK_LIMIT_BITS", 0)
+            else:
+                orig = FrameBatchLoader._convert_chunk_sparse
+
+                def no_u8(self, chunk_sweeps, rows):
+                    return orig(self, [
+                        [(g, r, b, v, a, s, False) for (g, r, b, v, a, s, _)
+                         in sweeps] for sweeps in chunk_sweeps], rows)
+
+                monkeypatch.setattr(FrameBatchLoader,
+                                    "_convert_chunk_sparse", no_u8)
+        fr = loader.load_sequence(frame_files)
+        monkeypatch.undo()
+        return fr
+
+    packed, wide = load(False), load(True)
+    np.testing.assert_array_equal(np.asarray(packed.count),
+                                  np.asarray(wide.count))
+    np.testing.assert_array_equal(np.asarray(packed.gain),
+                                  np.asarray(wide.gain))
+    np.testing.assert_array_equal(np.asarray(packed.xyi),
+                                  np.asarray(wide.xyi))
