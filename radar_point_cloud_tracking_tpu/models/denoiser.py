@@ -26,6 +26,7 @@ from ..ops.stdbscan import st_dbscan_device
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
 from .ingest import FrameBatchLoader, IngestedFrames
+from .tracker import _quarter_pow2
 
 __all__ = ["DenoiseResult", "run_denoising_pipeline"]
 
@@ -97,7 +98,7 @@ def denoise_frames(
             ingested.gain.astype(jnp.float32)[..., None],
         ], axis=-1).reshape(f * c, 6)
         total = int(jnp.sum(ingested.count))
-        capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
+        capacity = _quarter_pow2(total)
         points, n_points = compact_masked(vals, valid.reshape(f * c), capacity)
         n_points = int(n_points)
 

@@ -184,6 +184,21 @@ def _land_keep(flat_xy, flat_int, flat_valid, x_edges, y_edges, nx, ny,
     return keep, jnp.sum(land)
 
 
+def _quarter_pow2(n: int, floor: int = 1024) -> int:
+    """Smallest quarter-power-of-two bucket >= n (1024-aligned).
+
+    Full pow2 rounding wastes up to ~2x buffer (9.47M pts -> 16.8M slots);
+    quarter steps cap padding at 25% while keeping the set of compiled
+    program shapes small.
+    """
+    n = max(n, 1)
+    if n <= floor:
+        return floor
+    half = 1 << ((n - 1).bit_length() - 1)
+    step = max(half // 4, 1024)
+    return half + -(-(n - half) // step) * step
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _flatten_and_compact(xyi, gain, count, frame_ids, keep, capacity):
     """Flatten (F, C) frame buffers into one tight (capacity, 6) buffer:
@@ -231,7 +246,7 @@ class TrackingPipeline:
         # every later scatter/sweep works on ~N instead of F*C padded slots
         with timer.stage("repack"):
             raw_total = int(jnp.sum(ingested.count))
-            cap0 = 1 << max(10, (max(raw_total, 1) - 1).bit_length())
+            cap0 = _quarter_pow2(raw_total)
             points0, n_raw = _flatten_and_compact(
                 ingested.xyi, ingested.gain, ingested.count,
                 jnp.asarray(ingested.frame_ids),
@@ -261,7 +276,7 @@ class TrackingPipeline:
                     removed = raw_total - total
                     self._log(f"  Identified {land_cells} land cells; removed "
                               f"{removed:,} land points")
-                capacity = 1 << max(10, (max(total, 1) - 1).bit_length())
+                capacity = _quarter_pow2(total)
                 points, n_points = compact_masked(points0, keep, capacity)
         else:
             self._log("  Skipping land filter")
