@@ -175,13 +175,9 @@ def _bounds(flat_xy, flat_valid):
 @functools.partial(jax.jit, static_argnames=("nx", "ny"))
 def _land_keep(flat_xy, flat_int, flat_valid, x_edges, y_edges, nx, ny,
                num_frames, persistence, min_intensity):
-    count, isum = grid_ops.occupancy_grid(
-        flat_xy, flat_int, flat_valid,
-        flat_valid.astype(jnp.float32), x_edges, y_edges, nx, ny)
-    land = grid_ops.land_mask_from_grids(
-        count, isum, num_frames, persistence, min_intensity)
-    keep = grid_ops.land_keep_mask(flat_xy, flat_valid, land, x_edges, y_edges)
-    return keep, jnp.sum(land)
+    return grid_ops.land_filter_keep(
+        flat_xy, flat_int, flat_valid, x_edges, y_edges, nx, ny,
+        num_frames, persistence, min_intensity)
 
 
 def _quarter_pow2(n: int, floor: int = 1024) -> int:
