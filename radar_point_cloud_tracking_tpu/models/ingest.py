@@ -36,6 +36,9 @@ def _bucket(n: int, step: int = 1024) -> int:
 # (sweep, row, bin) packed-index budget; tests shrink this to force the wide
 # wire layout
 _PACK_LIMIT_BITS = 31
+# largest intra-sweep key delta the uint16 wire can carry; tests shrink this
+# to force the int32 packed layout
+_DELTA_MAX = 0xFFFF
 
 
 @dataclass
@@ -219,6 +222,7 @@ class FrameBatchLoader:
         the index fields overflow 31 bits or echoes need float precision.
         """
         from ..ops.geometry import (PAD_COORD, convert_sparse_frames,
+                                    convert_sparse_frames_delta,
                                     convert_sparse_frames_packed)
 
         nf = len(chunk_sweeps)
@@ -242,27 +246,54 @@ class FrameBatchLoader:
             pt_key = np.zeros((nf, c), np.int32)
             pt_val = np.zeros((nf, c), np.uint8 if u8_ok else np.float32)
             gain_table = np.zeros((nf, g), np.int32)
+            sweep_offsets = np.zeros((nf, g + 1), np.int32)
+            start_keys = np.zeros((nf, g), np.int32)
             for fi, sweeps in enumerate(chunk_sweeps):
                 off = 0
                 for si, (gain, rows_a, bins_a, vals_a, ang, sc, _) \
                         in enumerate(sweeps):
                     n = min(len(rows_a), c - off)
+                    sweep_offsets[fi, si] = off
                     pt_key[fi, off:off + n] = (
                         (si << (row_bits + bin_bits))
                         | (rows_a[:n].astype(np.int32) << bin_bits)
                         | bins_a[:n])
+                    if n:
+                        start_keys[fi, si] = pt_key[fi, off]
                     pt_val[fi, off:off + n] = vals_a[:n]
                     gain_table[fi, si] = gain
                     angles[fi, si, :len(ang)] = ang
                     scales[fi, si, :len(sc)] = sc
                     off += n
+                sweep_offsets[fi, len(sweeps):] = off
                 counts[fi] = off
-            xyi, gain_dev = convert_sparse_frames_packed(
-                jnp.asarray(pt_key), jnp.asarray(pt_val), jnp.asarray(counts),
+            # keys ascend strictly within a sweep, so intra-sweep uint16
+            # deltas (2 B) usually replace the int32 keys (4 B) on the
+            # bandwidth-bound wire; sweep starts ship absolute keys in the
+            # tiny start_keys table (their delta slot is zero)
+            d = np.empty_like(pt_key)
+            d[:, 0] = pt_key[:, 0]
+            d[:, 1:] = pt_key[:, 1:] - pt_key[:, :-1]
+            d[np.arange(c)[None, :] >= counts[:, None]] = 0
+            off_flat = sweep_offsets[:, :g]
+            real_start = (off_flat < counts[:, None]).ravel()
+            d[np.repeat(np.arange(nf), g)[real_start],
+              off_flat.ravel()[real_start]] = 0
+            convert_args = (
+                jnp.asarray(pt_val), jnp.asarray(counts),
                 jnp.asarray(gain_table), jnp.asarray(angles),
                 jnp.asarray(scales),
-                jnp.float32(self.config.radar.angle_scale),
-                num_bins, row_bits, bin_bits)
+                jnp.float32(self.config.radar.angle_scale))
+            if d.max(initial=0) <= _DELTA_MAX and d.min(initial=0) >= 0:
+                xyi, gain_dev = convert_sparse_frames_delta(
+                    jnp.asarray(d.astype(np.uint16)), convert_args[0],
+                    convert_args[1], jnp.asarray(sweep_offsets),
+                    jnp.asarray(start_keys), *convert_args[2:],
+                    num_bins, row_bits, bin_bits)
+            else:
+                xyi, gain_dev = convert_sparse_frames_packed(
+                    jnp.asarray(pt_key), *convert_args,
+                    num_bins, row_bits, bin_bits)
         else:
             pt_row = np.zeros((nf, c), np.int16)
             pt_bin = np.zeros((nf, c), np.int16)

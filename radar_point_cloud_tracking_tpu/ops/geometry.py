@@ -222,6 +222,44 @@ def convert_sparse_frames(
     return jnp.where(valid[..., None], xyz, PAD_COORD)
 
 
+@functools.partial(jax.jit, static_argnums=(9, 10, 11))
+def convert_sparse_frames_delta(
+    pt_delta: jnp.ndarray,  # (F, C) uint16 intra-sweep key deltas
+    pt_val: jnp.ndarray,  # (F, C) uint8 or f32 echo intensity
+    counts: jnp.ndarray,  # (F,) valid points per frame
+    sweep_offsets: jnp.ndarray,  # (F, G+1) int32 per-sweep start indices
+    start_keys: jnp.ndarray,  # (F, G) int32 absolute key of each sweep start
+    gain_table: jnp.ndarray,  # (F, G) int32 per-sweep gain values
+    angles_units: jnp.ndarray,  # (F, G, R) raw Angle column values
+    scales: jnp.ndarray,  # (F, G, R) Scale column values
+    angle_scale: jnp.ndarray,  # () radar units -> degrees factor
+    num_bins: int,
+    row_bits: int,
+    bin_bits: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Delta-compressed variant of :func:`convert_sparse_frames_packed`.
+
+    Packed (sweep, row, bin) keys ascend strictly within a sweep, so the
+    wire carries uint16 deltas (2 B instead of 4 B per point); each sweep's
+    first point ships its absolute key in the tiny ``start_keys`` table and
+    its delta slot is zero.  Device reconstruction is one cumsum plus a
+    segmented rebase:  key[i] = start_keys[f, sid] + cs[i] - cs[sweep start].
+    """
+    f, c = pt_delta.shape
+    g = start_keys.shape[1]
+    cs = jnp.cumsum(pt_delta.astype(jnp.int32), axis=1)
+    i = jnp.arange(c, dtype=jnp.int32)[None, :]
+    # sweep id per point: how many sweep starts (after the first) precede i
+    sid = jnp.sum(i[:, :, None] >= sweep_offsets[:, None, 1:g], axis=-1)
+    start_cs = jnp.take_along_axis(
+        cs, jnp.clip(sweep_offsets[:, :g], 0, c - 1), axis=1)  # (F, G)
+    key = (jnp.take_along_axis(start_keys, sid, axis=1)
+           + cs - jnp.take_along_axis(start_cs, sid, axis=1))
+    return _convert_from_keys(key, pt_val, counts, gain_table, angles_units,
+                              scales, angle_scale, num_bins, row_bits,
+                              bin_bits)
+
+
 @functools.partial(jax.jit, static_argnums=(7, 8, 9))
 def convert_sparse_frames_packed(
     pt_key: jnp.ndarray,  # (F, C) int32 packed (sweep, row, bin) index
@@ -244,8 +282,14 @@ def convert_sparse_frames_packed(
     derived on device from the tiny per-sweep ``gain_table`` instead of being
     shipped per point.  Returns ((F, C, 3) x/y/intensity, (F, C) int32 gain).
     """
-    f, c = pt_key.shape
-    key = pt_key.astype(jnp.int32)
+    return _convert_from_keys(pt_key.astype(jnp.int32), pt_val, counts,
+                              gain_table, angles_units, scales, angle_scale,
+                              num_bins, row_bits, bin_bits)
+
+
+def _convert_from_keys(key, pt_val, counts, gain_table, angles_units, scales,
+                       angle_scale, num_bins, row_bits, bin_bits):
+    f, c = key.shape
     pt_bin = key & ((1 << bin_bits) - 1)
     pt_row = (key >> bin_bits) & ((1 << row_bits) - 1)
     pt_sweep = key >> (bin_bits + row_bits)

@@ -240,7 +240,7 @@ def test_parse_u8_flag_and_float_fallback(tmp_path):
     np.testing.assert_array_equal(v, np.float32([12.5, 300.25]))
 
 
-@pytest.mark.parametrize("mode", ["f32_payload", "wide_layout"])
+@pytest.mark.parametrize("mode", ["f32_payload", "wide_layout", "int32_keys"])
 def test_sparse_packed_fallbacks_identical(gain_dataset, monkeypatch, mode):
     """Neither fallback (float32 payload; unpacked wide layout) may change
     any output vs the packed uint8 wire."""
@@ -260,6 +260,9 @@ def test_sparse_packed_fallbacks_identical(gain_dataset, monkeypatch, mode):
             if mode == "wide_layout":
                 # overflow the packed index budget -> wide fallback
                 monkeypatch.setattr(ingest_mod, "_PACK_LIMIT_BITS", 0)
+            elif mode == "int32_keys":
+                # overflow the uint16 delta budget -> int32 packed keys
+                monkeypatch.setattr(ingest_mod, "_DELTA_MAX", -1)
             else:
                 orig = FrameBatchLoader._convert_chunk_sparse
 
