@@ -131,6 +131,9 @@ class DeviceConfig(BaseModel):
     # frames at 1.55M pts), so it is opt-in.
     use_pallas: bool = False
     ingest_prefetch: int = 2  # host->device pipelining depth
+    # host CSV-parse thread pool size; 0 = one worker per host core (the
+    # native parser releases the GIL, so parsing scales across cores)
+    parse_workers: int = 0
 
 
 class PipelineConfig(BaseModel):

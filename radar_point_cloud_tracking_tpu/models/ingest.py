@@ -104,8 +104,11 @@ class FrameBatchLoader:
         # host parse parallelism: the native parser releases the GIL (ctypes
         # CDLL), so a thread pool scales CSV parsing across host cores while
         # the main thread feeds the device in frame order
+        if parse_workers is None:
+            parse_workers = getattr(self.config.device, "parse_workers", 0)
         self.parse_workers = (min(8, os.cpu_count() or 1)
-                              if parse_workers is None else max(1, parse_workers))
+                              if parse_workers in (None, 0)
+                              else max(1, parse_workers))
 
     # -- single frame -----------------------------------------------------
     def load_frame_tables(self, frame_files: Dict[int, Path]) -> List[Tuple[int, np.ndarray]]:
