@@ -39,6 +39,8 @@ EPS_SPACE, EPS_TIME, MIN_SAMPLES = 8.0, 2.0, 15
 THRESHOLD, STRIDE = 10.0, 4
 NUM_ROWS = int(os.environ.get("BENCH_ROWS", "2048"))
 NUM_BINS = int(os.environ.get("BENCH_BINS", "1024"))
+NOISE_RATE = float(os.environ.get("BENCH_NOISE", "0.008"))
+FRAME_CAP = int(os.environ.get("BENCH_FRAME_CAP", "131072"))
 
 
 def log(msg):
@@ -50,13 +52,15 @@ def _dataset(num_frames: int) -> Path:
         SceneConfig, generate_scene_dataset)
 
     sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v4"
+    if NOISE_RATE != 0.008:  # keep the default dataset cache key stable
+        sig += f"_n{NOISE_RATE:g}"
     data_dir = Path(__file__).resolve().parent / ".bench_data" / sig
     if (data_dir / "gain_75").is_dir():
         log(f"dataset cache hit: {data_dir}")
         return data_dir
     cfg = SceneConfig(num_frames=num_frames, num_rows=NUM_ROWS,
                       num_bins=NUM_BINS, num_boats=4, num_buoys=5,
-                      noise_rate=0.008, seed=7)
+                      noise_rate=NOISE_RATE, seed=7)
     t0 = time.perf_counter()
     generate_scene_dataset(data_dir, cfg)
     log(f"synthetic dataset ({num_frames} frames x 3 gains, "
@@ -148,7 +152,7 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
     t0 = time.perf_counter()
     loader = FrameBatchLoader(cfg, intensity_threshold=THRESHOLD,
                               point_stride=STRIDE, verbose=False,
-                              frame_capacity=131_072)
+                              frame_capacity=FRAME_CAP)
     ingested = loader.load_sequence(frame_files)
     t_ingest = time.perf_counter() - t0
 
