@@ -44,61 +44,67 @@ def cli(ctx: click.Context, config_path: Optional[Path], verbose: int) -> None:
 @cli.command("sort-by-gain")
 @click.argument("directory", type=click.Path(exists=True, path_type=Path))
 @click.option("--dry-run", is_flag=True,
-              help="Show what would be moved without moving.")
+              help="Preview the moves without touching any files.")
 @click.pass_context
 def sort_by_gain(ctx, directory: Path, dry_run: bool) -> None:
-    """Sort CSV files into gain_40/50/75 folders."""
+    """Group radar CSVs into per-gain folders (gain_40/50/75)."""
     from ..processors.sorting import move_files_to_gain_folders
 
     cfg = _load_config(ctx)
     moved = move_files_to_gain_folders(directory, cfg.gains.values,
                                        dry_run=dry_run)
     total = sum(len(v) for v in moved.values())
-    click.echo(f"{'Would move' if dry_run else 'Moved'} {total} files total.")
+    if dry_run:
+        click.echo(f"Would move {total} file(s) into gain folders.")
+    else:
+        click.echo(f"Sorted {total} file(s) into gain folders.")
 
 
 @cli.command("filter-range")
 @click.argument("directory", type=click.Path(exists=True, path_type=Path))
 @click.option("--ranges", "-r", multiple=True, type=int, default=[1, 2],
-              help="Range values to remove.")
+              help="Range field values whose files should be deleted.")
 @click.option("--dry-run", is_flag=True,
-              help="Show what would be deleted without deleting.")
+              help="Preview the deletions without touching any files.")
 @click.pass_context
 def filter_range(ctx, directory: Path, ranges, dry_run: bool) -> None:
-    """Remove CSV files with specified Range values."""
+    """Delete radar CSVs whose Range column matches the given values."""
     from ..processors.filtering import remove_files_by_range
 
     cfg = _load_config(ctx)
     removed = remove_files_by_range(directory, set(ranges), cfg.gains.values,
                                     dry_run=dry_run)
-    click.echo(
-        f"{'Would remove' if dry_run else 'Removed'} {len(removed)} files.")
+    if dry_run:
+        click.echo(f"Would remove {len(removed)} file(s).")
+    else:
+        click.echo(f"Deleted {len(removed)} file(s).")
 
 
 @cli.command("convert")
 @click.argument("input_path", type=click.Path(exists=True, path_type=Path))
 @click.argument("output_path", type=click.Path(path_type=Path))
 @click.option("--threshold", "-t", type=float, default=0.0,
-              help="Intensity threshold.")
+              help="Minimum echo intensity to keep.")
 @click.option("--batch/--single", default=False,
-              help="Batch mode for aligned gains.")
-@click.option("--limit", type=int, help="Limit number of files in batch mode.")
+              help="Convert timestamp-aligned per-gain trios in one pass.")
+@click.option("--limit", type=int,
+              help="Cap on the number of files converted in batch mode.")
 @click.pass_context
 def convert(ctx, input_path: Path, output_path: Path, threshold: float,
             batch: bool, limit: Optional[int]) -> None:
-    """Convert radar CSV to Cartesian coordinates."""
+    """Project radar sweep CSVs into Cartesian point coordinates."""
     cfg = _load_config(ctx)
     if batch:
         from ..processors.cartesian import convert_batch_aligned
 
         convert_batch_aligned(input_path, output_path, cfg.gains.values,
                               threshold, limit, cfg.radar)
-        click.echo("Batch conversion complete.")
+        click.echo("Batch conversion finished.")
     else:
         from ..processors.cartesian import convert_single_csv
 
         n = convert_single_csv(input_path, output_path, threshold, cfg.radar)
-        click.echo(f"Saved {n:,} points to {output_path}")
+        click.echo(f"Wrote {n:,} Cartesian points -> {output_path}")
 
 
 @cli.command("build")

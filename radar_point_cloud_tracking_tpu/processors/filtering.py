@@ -69,14 +69,14 @@ def remove_files_by_range(
     targets = find_files_by_range(base_dir, ranges_to_remove, gains)
     if not targets:
         if verbose:
-            print(f"No files with Range in {ranges_to_remove} found.")
+            print(f"Range filter: nothing matches {sorted(ranges_to_remove)}.")
         return []
     if verbose:
-        action = "Would delete" if dry_run else "Deleting"
-        print(f"{action} {len(targets)} files:")
+        verb = "match" if dry_run else "deleted"
+        print(f"Range filter: {len(targets)} file(s) {verb}:")
     for path in targets:
         if verbose:
-            print(f"  - {path}")
+            print(f"    {path}")
         if not dry_run:
             path.unlink(missing_ok=True)
     return targets

@@ -76,11 +76,12 @@ def move_files_to_gain_folders(
         dest = source_dir / f"gain_{gain}" / csv_path.name
         if dry_run:
             if verbose:
-                print(f"Would move gain {gain}: {csv_path.name} -> gain_{gain}/")
+                print(f"[dry-run] {csv_path.name}: gain {gain} "
+                      f"-> gain_{gain}/")
             moved[gain].append(csv_path)
         else:
             csv_path.rename(dest)
             if verbose:
-                print(f"Moved gain {gain}: {csv_path.name} -> gain_{gain}/")
+                print(f"{csv_path.name}: gain {gain} -> gain_{gain}/")
             moved[gain].append(dest)
     return moved

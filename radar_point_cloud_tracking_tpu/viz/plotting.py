@@ -34,6 +34,8 @@ __all__ = [
     "plot_ply_preview",
 ]
 
+_NOISE_RGB = np.array([120, 120, 120], dtype=np.uint8)
+
 
 def check_matplotlib() -> None:
     if not HAS_MATPLOTLIB:
@@ -45,20 +47,53 @@ def labels_to_colors(
     labels: np.ndarray,
     original_colors: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Noise -> gray 120; clusters take their first point's original color or
-    a deterministic per-label random color (reference plotting.py:27-59)."""
+    """Per-point RGB for a labeling: noise (-1) renders mid-gray; a real
+    cluster takes its first member's original color when colors are supplied,
+    otherwise an RGB triple seeded deterministically from the label id so
+    replotting the same labeling yields the same palette."""
     labels = np.asarray(labels)
-    unique = np.unique(labels)
-    lut = {}
-    for lbl in unique:
+    uniq, first_idx, inverse = np.unique(
+        labels, return_index=True, return_inverse=True)
+
+    palette = np.empty((uniq.size, 3), dtype=np.uint8)
+    for k, lbl in enumerate(uniq):
         if lbl == -1:
-            lut[lbl] = np.array([120, 120, 120], dtype=np.uint8)
-        elif original_colors is not None and (labels == lbl).any():
-            lut[lbl] = original_colors[labels == lbl][0]
+            palette[k] = _NOISE_RGB
+        elif original_colors is not None:
+            palette[k] = original_colors[first_idx[k]]
         else:
-            rng = np.random.RandomState(int(lbl))
-            lut[lbl] = rng.randint(0, 255, 3).astype(np.uint8)
-    return np.vstack([lut[l] for l in labels]).astype(np.uint8)
+            palette[k] = np.random.RandomState(int(lbl)).randint(0, 255, 3)
+    return palette[inverse.reshape(labels.shape)]
+
+
+def _stride_for(n_points: int, max_points: int) -> int:
+    return max(1, int(np.ceil(n_points / max_points)))
+
+
+def _render_scatter3d(
+    path: Path,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    rgb01: Optional[np.ndarray],
+    title: str,
+    axis_labels: tuple,
+    marker_size: float,
+    alpha: float,
+    dpi: int,
+) -> None:
+    """Render one 3D scatter to a PNG (Agg), creating parent dirs."""
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.scatter(x, y, z, c=rgb01, s=marker_size, alpha=alpha)
+    for setter, text in zip(
+            (ax.set_xlabel, ax.set_ylabel, ax.set_zlabel), axis_labels):
+        setter(text)
+    ax.set_title(title)
+    plt.tight_layout()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=dpi)
+    plt.close(fig)
 
 
 def plot_point_cloud(
@@ -72,24 +107,14 @@ def plot_point_cloud(
 ) -> None:
     """3D scatter preview with stride subsampling above ``max_points``."""
     check_matplotlib()
-    x, y, z, colors = cloud.x, cloud.y, cloud.z, cloud.colors
-    stride = max(1, int(np.ceil(x.size / max_points)))
-    if stride > 1:
-        x, y, z = x[::stride], y[::stride], z[::stride]
-        colors = colors[::stride] if colors is not None else None
-
-    fig = plt.figure(figsize=(8, 6))
-    ax = fig.add_subplot(111, projection="3d")
-    c = colors.astype(np.float32) / 255.0 if colors is not None else None
-    ax.scatter(x, y, z, c=c, s=marker_size, alpha=alpha)
-    ax.set_xlabel("X (m)")
-    ax.set_ylabel("Y (m)")
-    ax.set_zlabel("Z / Intensity")
-    ax.set_title(title)
-    plt.tight_layout()
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(path, dpi=dpi)
-    plt.close(fig)
+    stride = _stride_for(cloud.x.size, max_points)
+    x, y, z = (a[::stride] for a in (cloud.x, cloud.y, cloud.z))
+    rgb01 = None
+    if cloud.colors is not None:
+        rgb01 = cloud.colors[::stride].astype(np.float32) / 255.0
+    _render_scatter3d(path, x, y, z, rgb01, title,
+                      ("X (m)", "Y (m)", "Z / Intensity"),
+                      marker_size, alpha, dpi)
 
 
 def plot_labeled_cloud(
@@ -104,26 +129,14 @@ def plot_labeled_cloud(
     dpi: int = 200,
 ) -> None:
     check_matplotlib()
-    stride = max(1, int(np.ceil(coords.shape[0] / max_points)))
-    if stride > 1:
-        coords = coords[::stride]
-        labels = labels[::stride]
-        if original_colors is not None:
-            original_colors = original_colors[::stride]
+    stride = _stride_for(coords.shape[0], max_points)
+    coords, labels = coords[::stride], labels[::stride]
+    if original_colors is not None:
+        original_colors = original_colors[::stride]
 
-    colors = labels_to_colors(labels, original_colors).astype(np.float32) / 255.0
-    fig = plt.figure(figsize=(8, 6))
-    ax = fig.add_subplot(111, projection="3d")
-    ax.scatter(coords[:, 0], coords[:, 1], coords[:, 2], c=colors,
-               s=marker_size, alpha=alpha)
-    ax.set_xlabel("X")
-    ax.set_ylabel("Y")
-    ax.set_zlabel("Z")
-    ax.set_title(title)
-    plt.tight_layout()
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(path, dpi=dpi)
-    plt.close(fig)
+    rgb01 = labels_to_colors(labels, original_colors).astype(np.float32) / 255.0
+    _render_scatter3d(path, coords[:, 0], coords[:, 1], coords[:, 2], rgb01,
+                      title, ("X", "Y", "Z"), marker_size, alpha, dpi)
 
 
 def plot_ply_preview(

@@ -35,7 +35,7 @@ def test_sort_by_gain_dry_run(runner, tmp_path):
                        num_rows=2, num_echo=8, gain=gain)
     result = runner.invoke(cli, ["sort-by-gain", str(tmp_path), "--dry-run"])
     assert result.exit_code == 0, result.output
-    assert "Would move 2 files" in result.output
+    assert "Would move 2 file(s)" in result.output
     assert len(list(tmp_path.glob("*.csv"))) == 2
 
 
@@ -46,7 +46,7 @@ def test_filter_range_dry_run(runner, tmp_path):
                    gain=40, range_val=1)
     result = runner.invoke(cli, ["filter-range", str(tmp_path), "--dry-run"])
     assert result.exit_code == 0, result.output
-    assert "Would remove 1 files" in result.output
+    assert "Would remove 1 file(s)" in result.output
 
 
 def test_convert_single(runner, tmp_path, small_radar_csv):
