@@ -51,16 +51,17 @@ def _global_cluster_table(points, intensity, labels, valid, num_clusters):
     """Global per-cluster stats (clusters.csv of the denoiser,
     stdbscan_denoising_pipeline.py:998-1013)."""
     label_cap = 1 << max(4, (max(num_clusters, 1) - 1).bit_length())
-    cents, cvalid, clabel, cnum, cmi = per_frame_cluster_stats(
+    # max_clusters == label_cap: the global table keeps every cluster, so
+    # the present-count can never overflow the compacted width
+    cs = per_frame_cluster_stats(
         points, intensity, jnp.zeros(points.shape[0], jnp.int32), labels,
-        valid, num_frames=1, label_cap=label_cap,
-        max_clusters=min(label_cap, 4096))
+        valid, num_frames=1, label_cap=label_cap, max_clusters=label_cap)
     rows = []
-    cvalid = np.asarray(cvalid)[0]
-    clabel = np.asarray(clabel)[0]
-    cnum = np.asarray(cnum)[0]
-    cents = np.asarray(cents)[0]
-    cmi = np.asarray(cmi)[0]
+    cvalid = np.asarray(cs.valid)[0]
+    clabel = np.asarray(cs.label)[0]
+    cnum = np.asarray(cs.num_points)[0]
+    cents = np.asarray(cs.centroids)[0]
+    cmi = np.asarray(cs.mean_intensity)[0]
     for k in range(len(cvalid)):
         if cvalid[k]:
             rows.append({

@@ -312,23 +312,46 @@ class TrackingPipeline:
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 
         # ---- per-frame cluster stats ------------------------------------
+        # capacities grow-and-retry on overflow: the reference tracker is
+        # unbounded, so a saturated fixed table must never silently drop
+        # clusters/objects (it would quietly break exactness)
         with timer.stage("cluster_stats"):
             label_cap = 1 << max(6, (max(num_clusters, 1) - 1).bit_length())
-            centroids, cvalid, clabel, cnum, cmi = per_frame_cluster_stats(
-                points[:, :2], points[:, 2],
-                points[:, 3].astype(jnp.int32), labels, pvalid,
-                num_frames=f, label_cap=label_cap,
-                max_clusters=cfg.tracking.max_clusters_per_frame)
+            max_c = cfg.tracking.max_clusters_per_frame
+            while True:
+                cs = per_frame_cluster_stats(
+                    points[:, :2], points[:, 2],
+                    points[:, 3].astype(jnp.int32), labels, pvalid,
+                    num_frames=f, label_cap=label_cap, max_clusters=max_c)
+                needed = int(jnp.max(cs.present_count))
+                if needed <= max_c:
+                    break
+                self._log(f"  [capacity] {needed} clusters in one frame "
+                          f"exceeds max_clusters_per_frame={max_c}; "
+                          "growing and recomputing")
+                max_c = 1 << (needed - 1).bit_length()
+            centroids, cvalid, clabel, cnum, cmi = (
+                cs.centroids, cs.valid, cs.label, cs.num_points,
+                cs.mean_intensity)
 
         # ---- tracking ---------------------------------------------------
         with timer.stage("tracking"):
-            state, records = track_sequence(
-                centroids, cvalid, jnp.asarray(ingested.frame_ids),
-                max_objects=cfg.tracking.max_objects,
-                history=cfg.tracking.motion_history_frames,
-                max_missed=cfg.tracking.max_missed_frames,
-                max_dist=cfg.tracking.max_association_distance,
-                stationary=cfg.tracking.stationary_velocity_threshold)
+            max_obj = cfg.tracking.max_objects
+            while True:
+                state, records = track_sequence(
+                    centroids, cvalid, jnp.asarray(ingested.frame_ids),
+                    max_objects=max_obj,
+                    history=cfg.tracking.motion_history_frames,
+                    max_missed=cfg.tracking.max_missed_frames,
+                    max_dist=cfg.tracking.max_association_distance,
+                    stationary=cfg.tracking.stationary_velocity_threshold)
+                n_dropped = int(jnp.sum(records["dropped"]))
+                if n_dropped == 0:
+                    break
+                self._log(f"  [capacity] object table full: {n_dropped} "
+                          f"creation(s) dropped at max_objects={max_obj}; "
+                          "growing and re-tracking")
+                max_obj *= 2
             state = jax.tree_util.tree_map(np.asarray, state)
             records = jax.tree_util.tree_map(np.asarray, records)
 

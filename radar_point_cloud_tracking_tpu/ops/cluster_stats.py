@@ -5,17 +5,38 @@ with Python loops over ``set(frame_labels)`` (4_temporal_object_tracker.py:
 509-536).  Here it is one segment-scatter program: key = (local frame index,
 global label) -> counts / coordinate sums / intensity sums, then a per-frame
 ascending-label compaction into fixed (F, MAXC) tracker inputs.
+
+Clusters are emitted in ascending-global-label order within each frame; the
+reference iterates ``set(frame_labels)`` whose order can deviate from
+ascending on hash collisions — this is an intentional canonicalization (the
+CPU oracle encodes the same convention).
+
+Capacity overflow is *reported*, never silent: ``present_count`` carries the
+true per-frame cluster count before truncation to ``max_clusters``, and
+``label_overflow`` counts points whose label fell outside ``label_cap``.
+Callers (models/tracker.py) grow the capacities and retry when either
+fires, so a saturated table can never silently drop objects.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["per_frame_cluster_stats"]
+__all__ = ["ClusterStats", "per_frame_cluster_stats"]
+
+
+class ClusterStats(NamedTuple):
+    centroids: jnp.ndarray  # (F, M, 2) f32
+    valid: jnp.ndarray  # (F, M) bool
+    label: jnp.ndarray  # (F, M) int32 global label per compacted slot
+    num_points: jnp.ndarray  # (F, M) int32
+    mean_intensity: jnp.ndarray  # (F, M) f32
+    present_count: jnp.ndarray  # (F,) int32 true per-frame cluster count
+    label_overflow: jnp.ndarray  # () int32 points with label >= label_cap
 
 
 @functools.partial(jax.jit, static_argnames=("num_frames", "label_cap",
@@ -29,14 +50,14 @@ def per_frame_cluster_stats(
     num_frames: int,
     label_cap: int,
     max_clusters: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (centroids (F, M, 2), cluster_valid (F, M),
-    cluster_label (F, M), num_points (F, M), mean_intensity (F, M)),
-    clusters ordered by ascending global label within each frame."""
+) -> ClusterStats:
+    """Per-frame compacted cluster table (see ``ClusterStats``), clusters
+    ordered by ascending global label within each frame."""
     n = xy.shape[0]
     f, l, m = num_frames, label_cap, max_clusters
 
     use = valid & (labels >= 0) & (labels < l)
+    overflow = jnp.sum(valid & (labels >= l)).astype(jnp.int32)
     key = jnp.where(use, frame_idx * l + labels, f * l)
     size = f * l + 1
 
@@ -55,6 +76,7 @@ def per_frame_cluster_stats(
     si = si[:-1].reshape(f, l)
 
     present = count > 0
+    present_count = jnp.sum(present, axis=1).astype(jnp.int32)
     # ascending-label compaction: argsort puts present labels first in label
     # order (stable sort over ~present)
     order = jnp.argsort(~present, axis=1, stable=True)[:, :m]  # (F, M)
@@ -67,4 +89,5 @@ def per_frame_cluster_stats(
     denom = jnp.maximum(cnum, 1).astype(jnp.float32)
     centroids = jnp.stack([csx / denom, csy / denom], axis=-1)
     mean_int = csi / denom
-    return centroids, cvalid, order.astype(jnp.int32), cnum, mean_int
+    return ClusterStats(centroids, cvalid, order.astype(jnp.int32), cnum,
+                        mean_int, present_count, overflow)

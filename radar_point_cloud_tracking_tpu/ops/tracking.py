@@ -84,6 +84,23 @@ def _recent_vel_stats(vel_ring, vel_count, history):
     return mean_vel, mean_speed
 
 
+def _last_k_vel_stats(vel_ring, vel_count, k):
+    """Mean velocity over the k most recently appended ring entries
+    (reference ``velocities[-k:]``, 4_temporal_object_tracker.py:751).
+
+    ``_recent_vel_stats``'s slot mask is only valid when the window equals
+    the ring size; here entries are selected by age relative to the write
+    cursor so the *last* k survive, not the first k slots."""
+    h = vel_ring.shape[-2]
+    slots = jnp.arange(h)
+    ring_pos = vel_count % h  # next write position
+    age = (ring_pos[:, None] - 1 - slots[None, :]) % h
+    valid = age < jnp.minimum(vel_count, k)[:, None]
+    denom = jnp.maximum(jnp.sum(valid, axis=1), 1).astype(jnp.float32)
+    mean_vel = jnp.sum(jnp.where(valid[..., None], vel_ring, 0.0), axis=1)
+    return mean_vel / denom[:, None]
+
+
 def _classify(vel_count, mean_speed, cfg_history, stationary_thresh):
     return jnp.where(
         vel_count < cfg_history,
@@ -210,13 +227,18 @@ def tracker_step(
     seen_now = matched_obj.at[target_slot].set(True, mode="drop")
     # mean of the last 3 velocities drives the viz arrows
     # (4_temporal_object_tracker.py:751)
-    vel3, _ = _recent_vel_stats(ring2, vel_count2, 3)
+    vel3 = _last_k_vel_stats(ring2, vel_count2, 3)
+    # clusters that wanted a new object but found no free slot: the reference
+    # tracker is unbounded, so any drop here means the fixed table is too
+    # small — callers check this count and grow max_objects (never silent)
+    num_dropped = (jnp.sum(create_mask) - num_created).astype(jnp.int32)
     record = {
         "object_id": object_id2,
         "seen": seen_now & active3,
         "pos": last_pos2,
         "active": active3,
         "vel": vel3,
+        "dropped": num_dropped,
     }
     return new_state, record
 

@@ -67,7 +67,7 @@ def sharded_tracking_step(
     land_persistence: float = 0.8,
     land_min_intensity: float = 100.0,
     tile: int = 128,
-    max_sweeps: int = 16,
+    max_sweeps: int = 64,
     label_cap: int = 256,
     max_clusters: int = 32,
     max_objects: int = 64,
@@ -80,7 +80,10 @@ def sharded_tracking_step(
 
     Returns ``step(xyi, count, frame_ids)`` where ``xyi`` is (F, C, 3)
     sharded over frames; the step returns (labels (F, C) sharded,
-    final tracker state + records replicated).
+    num_clusters, converged flag, final tracker state + records replicated).
+    ``converged`` is False when min-label propagation hit ``max_sweeps``
+    before quiescing — labels may then split one cluster across shards, so
+    callers must check it rather than trust the labeling silently.
     """
     n_dev = mesh.devices.size
     halo_k = max(1, int(np.floor(eps_time)))
@@ -186,11 +189,27 @@ def sharded_tracking_step(
             nbr = neighbor_min_sweep(index, payload, es, et)
             return from_sorted(nbr)
 
+        # labels are global point indices; any label pointing at a point
+        # inside this shard's halo'd window can be chased locally (pointer
+        # jumping), collapsing long in-shard chains geometrically instead of
+        # one hop per sweep (plain sweeps needed ~41 rounds on clutter
+        # chains in the single-chip engine — see ops/stdbscan.py)
+        base = (shard * f_l - halo_k) * c
+
+        def jump(lbl_flat):
+            p = lbl_flat - base
+            inb = (p >= 0) & (p < ft * c) & (lbl_flat < INT_MAX)
+            tgt = jnp.where(inb, jnp.clip(p, 0, ft * c - 1), 0)
+            return jnp.minimum(
+                lbl_flat, jnp.where(inb, lbl_flat[tgt], lbl_flat))
+
         def loop_body(state):
             lbl, _, it = state
             nbr = sweep_min(lbl)
-            new_local = jnp.minimum(lbl, nbr).reshape(ft, c)[
-                halo_k:halo_k + f_l]
+            merged = jnp.minimum(lbl, nbr)
+            for _ in range(3):
+                merged = jump(merged)
+            new_local = merged.reshape(ft, c)[halo_k:halo_k + f_l]
             # owners re-broadcast fresh labels into neighbors' halos
             refreshed = _with_halo(new_local, ax, n_dev, halo_k)
             refreshed = jnp.where(halo_valid, refreshed, INT_MAX)
@@ -203,8 +222,9 @@ def sharded_tracking_step(
             _, changed, it = state
             return changed & (it < max_sweeps)
 
-        label, _, _ = jax.lax.while_loop(
+        label, still_changing, _ = jax.lax.while_loop(
             loop_cond, loop_body, (label0, jnp.bool_(True), jnp.int32(0)))
+        converged = ~still_changing
 
         # ---- canonical ranks (global) -----------------------------------
         n_global = jax.lax.psum(jnp.int32(f_l), ax) * c
@@ -246,12 +266,12 @@ def sharded_tracking_step(
         lint = xyi[..., 2].reshape(-1)
         lframe = jnp.broadcast_to(
             jnp.arange(f_l, dtype=jnp.int32)[:, None], (f_l, c)).reshape(-1)
-        cents, cvalid, _, _, _ = per_frame_cluster_stats(
+        cs = per_frame_cluster_stats(
             lxy, lint, lframe, labels_local.reshape(-1), valid.reshape(-1),
             num_frames=f_l, label_cap=label_cap, max_clusters=max_clusters)
 
-        cents_g = jax.lax.all_gather(cents, ax, axis=0, tiled=True)
-        cvalid_g = jax.lax.all_gather(cvalid, ax, axis=0, tiled=True)
+        cents_g = jax.lax.all_gather(cs.centroids, ax, axis=0, tiled=True)
+        cvalid_g = jax.lax.all_gather(cs.valid, ax, axis=0, tiled=True)
         fids_g = jax.lax.all_gather(frame_ids, ax, axis=0, tiled=True)
 
         # ---- replicated tracker scan ------------------------------------
@@ -259,12 +279,12 @@ def sharded_tracking_step(
             cents_g, cvalid_g, fids_g, max_objects=max_objects,
             history=history, max_missed=max_missed, max_dist=max_dist,
             stationary=stationary)
-        return labels_local, num_clusters, state, records
+        return labels_local, num_clusters, converged, state, records
 
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS), P(FRAMES_AXIS)),
-        out_specs=(P(FRAMES_AXIS), P(), P(), P()),
+        out_specs=(P(FRAMES_AXIS), P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

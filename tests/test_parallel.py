@@ -55,13 +55,13 @@ def _single_chip_reference(xyi, count, frame_ids):
         tile=128)
     labels = np.asarray(labels).reshape(f, c)
 
-    cents, cvalid, _, _, _ = per_frame_cluster_stats(
+    cs = per_frame_cluster_stats(
         jnp.asarray(coords), jnp.asarray(xyi[..., 2].reshape(-1)),
         jnp.asarray(np.repeat(np.arange(f, dtype=np.int32), c)),
         jnp.asarray(labels.reshape(-1)), jnp.asarray(valid.reshape(-1)),
         num_frames=f, label_cap=256, max_clusters=32)
     state, records = track_sequence(
-        cents, cvalid, jnp.asarray(frame_ids), max_objects=64, history=5,
+        cs.centroids, cs.valid, jnp.asarray(frame_ids), max_objects=64, history=5,
         max_missed=10, max_dist=50.0, stationary=1.0)
     return labels, int(num_clusters), state, records
 
@@ -72,8 +72,9 @@ def test_sharded_step_matches_single_chip(mesh8):
         mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
         land_persistence=2.0,  # disable land filtering (persistence > 1)
         tile=128, max_sweeps=32)
-    labels, num_clusters, state, records = step(
+    labels, num_clusters, converged, state, records = step(
         jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
+    assert bool(converged)
 
     want_labels, want_k, want_state, want_records = _single_chip_reference(
         xyi, count, frame_ids)
@@ -97,8 +98,9 @@ def test_sharded_denoise_semantics_match_single_chip(mesh8):
         mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES, min_frames=2,
         border_mode="if_earlier", land_persistence=2.0, tile=128,
         max_sweeps=32)
-    labels, num_clusters, state, records = step(
+    labels, num_clusters, converged, state, records = step(
         jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
+    assert bool(converged)
 
     f, c, _ = xyi.shape
     valid = np.arange(c)[None, :] < count[:, None]
@@ -121,8 +123,9 @@ def test_sharded_step_with_land_filter_runs(mesh8):
         mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
         land_persistence=0.5, land_min_intensity=80.0,
         tile=128, max_sweeps=32)
-    labels, num_clusters, state, records = step(
+    labels, num_clusters, converged, state, records = step(
         jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
+    assert bool(converged)
     labels = np.asarray(labels)
     assert labels.shape == xyi.shape[:2]
     # dense blobs (intensity >= 80) filtered out -> only sparse noise left,

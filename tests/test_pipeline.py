@@ -86,6 +86,38 @@ def device_result(gain_dataset):
                               eps_time=EPS_TIME, min_samples=MIN_SAMPLES)
 
 
+def test_capacity_autogrow_matches_default(gain_dataset, device_result):
+    """Undersized object/cluster tables grow-and-retry: results identical to
+    a run with ample capacity (never silently truncated)."""
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+
+    files_by_gain = rpt.discover_files(gain_dataset)
+    frame_files = rpt.group_files_by_frame(files_by_gain)
+    loader = FrameBatchLoader(intensity_threshold=THRESHOLD,
+                              point_stride=STRIDE, verbose=False,
+                              frame_capacity=4096)
+    loader.config.radar.num_echo_columns = 64
+    ingested = loader.load_sequence(frame_files)
+
+    cfg = PipelineConfig()
+    cfg.tracking.max_objects = 1
+    cfg.tracking.max_clusters_per_frame = 1
+    pipe = TrackingPipeline(cfg, verbose=False)
+    small = pipe.run_on_frames(ingested, eps_space=EPS_SPACE,
+                               eps_time=EPS_TIME, min_samples=MIN_SAMPLES)
+
+    got = small.objects_rows()
+    want = device_result.objects_rows()
+    assert len(got) == len(want) and len(want) >= 2
+    for g, w in zip(got, want):
+        for k in ("object_id", "object_type", "num_frames_seen",
+                  "first_frame", "last_frame"):
+            assert g[k] == w[k], (k, g, w)
+        for k in ("avg_velocity", "final_x", "final_y"):
+            assert abs(g[k] - w[k]) < 1e-5, (k, g, w)
+    assert int(np.sum(small.records["dropped"])) == 0
+
+
 def test_frame_grouping(gain_dataset):
     files_by_gain = rpt.discover_files(gain_dataset)
     assert set(files_by_gain) == {40, 50, 75}

@@ -139,6 +139,62 @@ def test_gap_frames_velocity_normalization():
     _compare(state, oracle)
 
 
+def test_record_vel_is_mean_of_last_three_velocities():
+    """records['vel'] mirrors the reference viz arrows: mean of
+    velocities[-3:] where velocities = [0 (creation), v1, v2, ...]
+    (4_temporal_object_tracker.py:751) — even after the ring wraps."""
+    # positions 0, 1, 3, 6, 10, 15, 21, 28 -> velocities 1..7
+    xs = np.cumsum([0, 1, 2, 3, 4, 5, 6, 7]).astype(float)
+    frames = [np.array([[x, 0.0]]) for x in xs]
+    state, records, _ = _run_both(frames, list(range(len(xs))))
+    slot = 0
+    # frame 1: velocities=[0, 1] -> mean 0.5
+    np.testing.assert_allclose(records["vel"][1, slot], [0.5, 0.0],
+                               atol=1e-5)
+    # frame 3: velocities=[0, 1, 2, 3] -> last 3 = [1, 2, 3] -> mean 2
+    np.testing.assert_allclose(records["vel"][3, slot], [2.0, 0.0],
+                               atol=1e-5)
+    # final frame (ring wrapped, count=8 > history=5): last 3 = [5, 6, 7]
+    np.testing.assert_allclose(records["vel"][-1, slot], [6.0, 0.0],
+                               atol=1e-5)
+
+
+def test_object_table_overflow_is_reported():
+    """Creations beyond free slots are counted in records['dropped'],
+    never silently swallowed."""
+    from radar_point_cloud_tracking_tpu.config import TrackingConfig
+
+    cfg = TrackingConfig(max_objects=2, max_clusters_per_frame=8)
+    frames = [np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0],
+                        [100.0, 100.0]])] * 3
+    from radar_point_cloud_tracking_tpu.ops.tracking import (
+        track_sequence_host,
+    )
+    state, records = track_sequence_host(frames, list(range(3)), cfg)
+    assert int(records["dropped"][0]) == 2
+    # the two surviving objects still track exactly
+    assert int(np.sum(state.active)) == 2
+
+
+def test_cluster_stats_overflow_is_reported():
+    import jax.numpy as jnp
+
+    from radar_point_cloud_tracking_tpu.ops.cluster_stats import (
+        per_frame_cluster_stats,
+    )
+
+    # 5 clusters in one frame, max_clusters=2, label_cap=4 (label 4 overflows)
+    labels = np.array([0, 1, 2, 3, 4, 4], np.int32)
+    xy = np.arange(12, dtype=np.float32).reshape(6, 2)
+    cs = per_frame_cluster_stats(
+        jnp.asarray(xy), jnp.ones(6), jnp.zeros(6, jnp.int32),
+        jnp.asarray(labels), jnp.ones(6, bool),
+        num_frames=1, label_cap=4, max_clusters=2)
+    assert int(cs.label_overflow) == 2  # two points with label >= 4
+    assert int(cs.present_count[0]) == 4  # labels 0..3 present pre-truncation
+    assert int(np.sum(np.asarray(cs.valid))) == 2  # table truncated to 2
+
+
 def test_trajectory_records_match_oracle():
     frames = [np.array([[2.0 * i, 1.0], [50.0, 50.0]]) for i in range(8)]
     state, records, oracle = _run_both(frames, list(range(8)))
