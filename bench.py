@@ -12,9 +12,16 @@ Protocol:
   once and cached under .bench_data/;
 - the TPU pipeline runs twice with identical shapes; the second (steady
   state, all programs cached) is measured;
-- the CPU reference is measured on a BENCH_CPU_FRAMES prefix (default 30)
+- the CPU reference is measured on a BENCH_CPU_FRAMES prefix (default 40)
   and extrapolated linearly to the full length — every reference stage
   scales at least linearly in frames, so this favors the CPU baseline;
+- the CPU prefix is run BENCH_CPU_REPEATS times (default 3) and the MEDIAN
+  total is the denominator (the shared host swings run-to-run);
+- the denominator composition is validated against the LITERAL reference
+  tracker script (/root/reference/PointCloudWork/4_temporal_object_tracker.py,
+  same defaults: threshold 10, stride 4, eps 8/2/15) run once per dataset as
+  a subprocess; its wall time is cached beside the dataset and logged next
+  to the oracle's on every run;
 - exact-match of cluster labels and track identities is verified on the
   CPU-measured prefix.
 
@@ -132,6 +139,49 @@ def run_cpu_reference(data_dir: Path, max_frames: int):
     return total, labels, tracker
 
 
+def validate_reference_denominator(data_dir: Path, max_frames: int):
+    """Time the LITERAL reference tracker once per dataset (cached).
+
+    bench.py's denominator is reference_impl/oracle.py — a re-derived
+    composition of the reference's implementation choices.  To validate that
+    the oracle is a fair (not inflated) stand-in, run the actual reference
+    script on the same data with identical parameters and record its wall
+    time next to the oracle's.  Subprocess, --no-viz, land filter on.
+    """
+    import subprocess
+    import tempfile
+
+    ref_script = Path("/root/reference/PointCloudWork/"
+                      "4_temporal_object_tracker.py")
+    cache = data_dir / f"refcheck_f{max_frames}.json"
+    if cache.exists():
+        rec = json.loads(cache.read_text())
+        log(f"literal reference (cached): {rec['elapsed_s']:.1f}s for "
+            f"{rec['frames']} frames")
+        return rec["elapsed_s"]
+    if not ref_script.exists() or os.environ.get("BENCH_SKIP_REFCHECK"):
+        log("literal reference check skipped (script missing or disabled)")
+        return None
+    log(f"timing the literal reference script on {max_frames} frames "
+        "(once per dataset)...")
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, str(ref_script), "--data-dir", str(data_dir),
+             "--output-dir", tmp, "--max-frames", str(max_frames),
+             "--no-viz"],
+            capture_output=True, text=True, timeout=3600)
+        elapsed = time.perf_counter() - t0
+    if proc.returncode != 0:
+        log(f"literal reference run FAILED (rc={proc.returncode}): "
+            f"{proc.stderr[-500:]}")
+        return None
+    cache.write_text(json.dumps({"elapsed_s": elapsed,
+                                 "frames": max_frames}))
+    log(f"literal reference: {elapsed:.1f}s for {max_frames} frames")
+    return elapsed
+
+
 def run_tpu(data_dir: Path, max_frames: int, label: str):
     from radar_point_cloud_tracking_tpu.config import PipelineConfig
     from radar_point_cloud_tracking_tpu.models.ingest import FrameBatchLoader
@@ -171,7 +221,8 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
 
 def main():
     num_frames = int(os.environ.get("BENCH_FRAMES", "100"))
-    cpu_frames = min(int(os.environ.get("BENCH_CPU_FRAMES", "20")), num_frames)
+    cpu_frames = min(int(os.environ.get("BENCH_CPU_FRAMES", "40")), num_frames)
+    cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
 
     import jax.numpy as jnp
 
@@ -181,9 +232,25 @@ def main():
 
     data_dir = _dataset(num_frames)
 
-    # exactness check on the CPU-measured prefix
+    # exactness check on the CPU-measured prefix; CPU time = median of repeats
     _, prefix_result = run_tpu(data_dir, cpu_frames, "prefix")
-    cpu_time, cpu_labels, cpu_tracker = run_cpu_reference(data_dir, cpu_frames)
+    cpu_times = []
+    for rep in range(cpu_repeats):
+        t, cpu_labels, cpu_tracker = run_cpu_reference(data_dir, cpu_frames)
+        cpu_times.append(t)
+    cpu_time = float(np.median(cpu_times))
+    log(f"CPU reference median of {cpu_repeats}: {cpu_time:.1f}s "
+        f"(runs: {[round(t, 1) for t in cpu_times]})")
+    ref_time = validate_reference_denominator(data_dir, cpu_frames)
+    if ref_time is not None:
+        note = ("the literal script is slower, so the oracle denominator "
+                "UNDERSTATES the speedup (conservative)"
+                if ref_time > cpu_time else
+                "the oracle is slower than the literal script — the "
+                "recorded ratio would overstate; investigate")
+        log(f"denominator check: oracle {cpu_time:.1f}s vs literal "
+            f"reference {ref_time:.1f}s ({ref_time / cpu_time:.2f}x; "
+            f"{note})")
     match = bool(np.array_equal(prefix_result.labels, cpu_labels))
     want = sorted(cpu_tracker.summary(), key=lambda r: r["object_id"])
     got = prefix_result.objects_rows()

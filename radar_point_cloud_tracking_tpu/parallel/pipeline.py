@@ -7,7 +7,8 @@ runtime at all — SURVEY §2.6).  Design:
 - the frame axis shards over a 1D mesh; conversion/fusion need no
   communication;
 - the persistence land grid is a per-shard scatter followed by one ``psum``
-  over ICI;
+  over ICI, using the SAME np.arange bin edges as the single-chip path
+  (ops/grid.py) so the land verdicts are bit-identical;
 - ST-DBSCAN exploits its own temporal locality (|t_i - t_j| <= eps_time):
   each shard clusters its frames plus a +-eps_time frame halo exchanged with
   neighbors via ``ppermute`` (the closest analog to context parallelism);
@@ -16,12 +17,14 @@ runtime at all — SURVEY §2.6).  Design:
   indices so canonical renumbering is a psum'd presence/rank table —
   bit-identical cluster ids to the single-chip engine;
 - per-frame cluster centroids ``all_gather`` (tiny) and the sequential
-  tracker scan runs replicated on every device.
+  tracker scan runs replicated on every device; per-frame cluster stats
+  return sharded so callers can assemble the same artifacts as the
+  single-chip pipeline.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.cluster_stats import per_frame_cluster_stats
+from ..ops.grid import digitize_clip
 from ..ops.neighbors import INT_MAX, build_spatial_index, neighbor_core_stats, \
     neighbor_min_sweep
 from ..ops.tracking import track_sequence
@@ -63,9 +67,10 @@ def sharded_tracking_step(
     min_samples: int,
     min_frames: int = 1,
     border_mode: str = "always",
-    grid_cells: Tuple[int, int] = (64, 64),
+    land_grid_shape: Optional[Tuple[int, int]] = None,
     land_persistence: float = 0.8,
     land_min_intensity: float = 100.0,
+    num_frames_real: int = 0,
     tile: int = 128,
     max_sweeps: int = 64,
     label_cap: int = 256,
@@ -78,51 +83,62 @@ def sharded_tracking_step(
 ):
     """Build the jitted sharded step.
 
-    Returns ``step(xyi, count, frame_ids)`` where ``xyi`` is (F, C, 3)
-    sharded over frames; the step returns (labels (F, C) sharded,
-    num_clusters, converged flag, final tracker state + records replicated).
-    ``converged`` is False when min-label propagation hit ``max_sweeps``
-    before quiescing — labels may then split one cluster across shards, so
-    callers must check it rather than trust the labeling silently.
+    With ``land_grid_shape=(nx, ny)`` the step signature is
+    ``step(xyi, count, frame_ids, x_edges, y_edges)`` and the persistence
+    land filter runs with the caller's exact np.arange bin edges (same
+    verdicts as the single-chip ``land_filter_keep``); with ``None`` the
+    land filter is skipped and the signature is
+    ``step(xyi, count, frame_ids)``.  ``xyi`` is (F, C, 3) sharded over
+    frames; ``num_frames_real`` (default: the global padded frame count) is
+    the persistence denominator — pass the real frame count when the
+    sequence was padded to a multiple of the mesh size.
+
+    Returns (labels (F, C) sharded, num_clusters, converged flag, final
+    tracker state + records replicated, per-frame cluster stats dict with
+    frame-sharded leaves + psum'd ``label_overflow``).  ``converged`` is
+    False when min-label propagation hit ``max_sweeps`` before quiescing —
+    labels may then split one cluster across shards, so callers must check
+    it rather than trust the labeling silently.
     """
     n_dev = mesh.devices.size
     halo_k = max(1, int(np.floor(eps_time)))
     n_offsets = int(np.floor(eps_time)) if min_frames > 1 else 0
-    nx, ny = grid_cells
+    use_land = land_grid_shape is not None
+    nx, ny = land_grid_shape if use_land else (1, 1)
 
-    def body(xyi, count, frame_ids):
+    def body(xyi, count, frame_ids, *edges):
         ax = FRAMES_AXIS
         f_l, c, _ = xyi.shape
         shard = jax.lax.axis_index(ax)
 
         valid = jnp.arange(c)[None, :] < count[:, None]
+        if num_frames_real:
+            num_frames_g = jnp.int32(num_frames_real)
+        else:
+            num_frames_g = jax.lax.psum(jnp.int32(f_l), ax)
 
-        # ---- land filter: local scatter + psum --------------------------
-        x = xyi[..., 0].reshape(-1)
-        y = xyi[..., 1].reshape(-1)
-        inten = xyi[..., 2].reshape(-1)
-        v = valid.reshape(-1)
-        gx_min = jax.lax.pmin(jnp.min(jnp.where(v, x, jnp.inf)), ax)
-        gy_min = jax.lax.pmin(jnp.min(jnp.where(v, y, jnp.inf)), ax)
-        gx_max = jax.lax.pmax(jnp.max(jnp.where(v, x, -jnp.inf)), ax)
-        gy_max = jax.lax.pmax(jnp.max(jnp.where(v, y, -jnp.inf)), ax)
-        res_x = (gx_max - gx_min) / nx + 1e-6
-        res_y = (gy_max - gy_min) / ny + 1e-6
-        xi = jnp.clip(((x - gx_min) / res_x).astype(jnp.int32), 0, nx - 1)
-        yi = jnp.clip(((y - gy_min) / res_y).astype(jnp.int32), 0, ny - 1)
-        cell = jnp.where(v, xi * ny + yi, nx * ny)
-        cnt = jnp.zeros((nx * ny + 1,), jnp.int32).at[cell].add(
-            v.astype(jnp.int32), mode="drop")
-        isum = jnp.zeros((nx * ny + 1,), jnp.float32).at[cell].add(
-            jnp.where(v, inten, 0.0), mode="drop")
-        cnt = jax.lax.psum(cnt, ax)
-        isum = jax.lax.psum(isum, ax)
-        num_frames_g = jax.lax.psum(jnp.int32(f_l), ax)
-        persistence = cnt[:-1] / jnp.maximum(num_frames_g, 1)
-        avg_i = jnp.where(cnt[:-1] > 0, isum[:-1] / cnt[:-1], 0.0)
-        land = (persistence >= land_persistence) & (avg_i >= land_min_intensity)
-        keep = v & ~land[jnp.clip(cell, 0, nx * ny - 1)]
-        valid = keep.reshape(f_l, c)
+        # ---- land filter: local scatter + psum, exact-edge semantics -----
+        if use_land:
+            x_edges, y_edges = edges
+            x = xyi[..., 0].reshape(-1)
+            y = xyi[..., 1].reshape(-1)
+            inten = xyi[..., 2].reshape(-1)
+            v = valid.reshape(-1)
+            xi = digitize_clip(x, x_edges, nx)
+            yi = digitize_clip(y, y_edges, ny)
+            cell = xi * ny + yi
+            off = jnp.where(v, cell, nx * ny)
+            cnt = jnp.zeros((nx * ny + 1,), jnp.int32).at[off].add(
+                v.astype(jnp.int32), mode="drop")
+            isum = jnp.zeros((nx * ny + 1,), jnp.float32).at[off].add(
+                jnp.where(v, inten, 0.0), mode="drop")
+            cnt = jax.lax.psum(cnt[:-1], ax)
+            isum = jax.lax.psum(isum[:-1], ax)
+            persistence = cnt / jnp.maximum(num_frames_g, 1)
+            avg_i = jnp.where(cnt > 0, isum / cnt, 0.0)
+            land = ((persistence >= land_persistence)
+                    & (avg_i >= land_min_intensity))
+            valid = (v & ~jnp.take(land, cell)).reshape(f_l, c)
 
         # ---- halo exchange of points ------------------------------------
         halo_xyi = _with_halo(xyi, ax, n_dev, halo_k)
@@ -227,7 +243,6 @@ def sharded_tracking_step(
         converged = ~still_changing
 
         # ---- canonical ranks (global) -----------------------------------
-        n_global = jax.lax.psum(jnp.int32(f_l), ax) * c
         size = n_dev * f_l * c + 1  # static bound for n_global + 1
         local_mask = jnp.zeros((ft, c), bool).at[halo_k:halo_k + f_l].set(
             True).reshape(-1)
@@ -279,12 +294,32 @@ def sharded_tracking_step(
             cents_g, cvalid_g, fids_g, max_objects=max_objects,
             history=history, max_missed=max_missed, max_dist=max_dist,
             stationary=stationary)
-        return labels_local, num_clusters, converged, state, records
+        stats = {
+            "centroids": cs.centroids,
+            "valid": cs.valid,
+            "label": cs.label,
+            "num_points": cs.num_points,
+            "mean_intensity": cs.mean_intensity,
+            "present_count": cs.present_count,
+            "kept_count": jnp.sum(valid, axis=1).astype(jnp.int32),
+            "label_overflow": jax.lax.psum(cs.label_overflow, ax),
+        }
+        return labels_local, num_clusters, converged, state, records, stats
 
+    shard_spec = P(FRAMES_AXIS)
+    in_specs = [shard_spec, shard_spec, shard_spec]
+    if use_land:
+        in_specs += [P(), P()]  # bin edges replicated
+    stats_specs = {
+        "centroids": shard_spec, "valid": shard_spec, "label": shard_spec,
+        "num_points": shard_spec, "mean_intensity": shard_spec,
+        "present_count": shard_spec, "kept_count": shard_spec,
+        "label_overflow": P(),
+    }
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS), P(FRAMES_AXIS)),
-        out_specs=(P(FRAMES_AXIS), P(), P(), P(), P()),
+        in_specs=tuple(in_specs),
+        out_specs=(shard_spec, P(), P(), P(), P(), stats_specs),
         check_vma=False,
     )
     return jax.jit(sharded)

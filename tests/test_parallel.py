@@ -70,11 +70,11 @@ def test_sharded_step_matches_single_chip(mesh8):
     xyi, count, frame_ids = _synthetic_frames()
     step = sharded_tracking_step(
         mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
-        land_persistence=2.0,  # disable land filtering (persistence > 1)
         tile=128, max_sweeps=32)
-    labels, num_clusters, converged, state, records = step(
+    labels, num_clusters, converged, state, records, stats = step(
         jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
     assert bool(converged)
+    assert int(stats["label_overflow"]) == 0
 
     want_labels, want_k, want_state, want_records = _single_chip_reference(
         xyi, count, frame_ids)
@@ -96,9 +96,9 @@ def test_sharded_denoise_semantics_match_single_chip(mesh8):
     xyi, count, frame_ids = _synthetic_frames(seed=3)
     step = sharded_tracking_step(
         mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES, min_frames=2,
-        border_mode="if_earlier", land_persistence=2.0, tile=128,
+        border_mode="if_earlier", tile=128,
         max_sweeps=32)
-    labels, num_clusters, converged, state, records = step(
+    labels, num_clusters, converged, state, records, stats = step(
         jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
     assert bool(converged)
 
@@ -114,21 +114,48 @@ def test_sharded_denoise_semantics_match_single_chip(mesh8):
     assert int(num_clusters) == int(want_k)
 
 
-def test_sharded_step_with_land_filter_runs(mesh8):
-    """Smoke: the psum'd occupancy-grid land filter executes and removes the
-    high-intensity persistent returns (persistence is point-count based like
-    the reference, so both dense blobs qualify as 'land' here)."""
+def test_sharded_land_filter_matches_single_chip(mesh8):
+    """The psum'd land filter uses the caller's exact np.arange edges, so
+    per-point land verdicts — and everything downstream — match the
+    single-chip ``land_filter_keep`` path exactly."""
+    from radar_point_cloud_tracking_tpu.ops import grid as grid_ops
+
     xyi, count, frame_ids = _synthetic_frames()
+    f, c, _ = xyi.shape
+    valid = np.arange(c)[None, :] < count[:, None]
+
+    # exact single-chip land semantics on the same flattened points
+    xy = xyi[..., :2].reshape(f * c, 2)
+    inten = xyi[..., 2].reshape(-1)
+    v = valid.reshape(-1)
+    x_min, x_max = xy[v, 0].min(), xy[v, 0].max()
+    y_min, y_max = xy[v, 1].min(), xy[v, 1].max()
+    x_edges = grid_ops.make_edges(float(x_min), float(x_max), 5.0)
+    y_edges = grid_ops.make_edges(float(y_min), float(y_max), 5.0)
+    nx, ny = len(x_edges) - 1, len(y_edges) - 1
+    keep, n_land = grid_ops.land_filter_keep(
+        jnp.asarray(xy), jnp.asarray(inten), jnp.asarray(v),
+        jnp.asarray(x_edges, jnp.float32), jnp.asarray(y_edges, jnp.float32),
+        nx, ny, jnp.int32(f), jnp.float32(0.5), jnp.float32(80.0))
+    keep = np.asarray(keep)
+    assert int(n_land) > 0  # the stationary blob cell qualifies as land
+
+    # single-chip clustering with the land-filtered keep mask as validity
+    want_dev, want_k_dev = st_dbscan_device(
+        jnp.asarray(xy), jnp.asarray(np.repeat(frame_ids.astype(np.float32), c)),
+        jnp.asarray(keep), EPS_SPACE, EPS_TIME, MIN_SAMPLES, tile=128)
+    want_labels = np.asarray(want_dev).reshape(f, c)
+    want_k = int(want_k_dev)
+
     step = sharded_tracking_step(
         mesh8, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
-        land_persistence=0.5, land_min_intensity=80.0,
-        tile=128, max_sweeps=32)
-    labels, num_clusters, converged, state, records = step(
-        jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids))
+        land_grid_shape=(nx, ny), land_persistence=0.5,
+        land_min_intensity=80.0, tile=128, max_sweeps=32)
+    labels, num_clusters, converged, state, records, stats = step(
+        jnp.asarray(xyi), jnp.asarray(count), jnp.asarray(frame_ids),
+        jnp.asarray(x_edges, jnp.float32), jnp.asarray(y_edges, jnp.float32))
     assert bool(converged)
     labels = np.asarray(labels)
     assert labels.shape == xyi.shape[:2]
-    # dense blobs (intensity >= 80) filtered out -> only sparse noise left,
-    # which cannot form clusters
-    assert int(num_clusters) == 0
-    assert np.all(labels == -1)
+    np.testing.assert_array_equal(labels, want_labels)
+    assert int(num_clusters) == want_k
