@@ -199,21 +199,15 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
     files_by_gain = rpt.discover_files(data_dir)
     frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
 
-    t0 = time.perf_counter()
     loader = FrameBatchLoader(cfg, intensity_threshold=THRESHOLD,
                               point_stride=STRIDE, verbose=False,
                               frame_capacity=FRAME_CAP)
-    ingested = loader.load_sequence(frame_files)
-    t_ingest = time.perf_counter() - t0
-
     pipe = TrackingPipeline(cfg, verbose=False)
     t0 = time.perf_counter()
-    result = pipe.run_on_frames(ingested, eps_space=EPS_SPACE,
-                                eps_time=EPS_TIME, min_samples=MIN_SAMPLES)
-    t_compute = time.perf_counter() - t0
-    total = t_ingest + t_compute
-    log(f"TPU [{label}, {max_frames} frames]: ingest={t_ingest:.1f}s "
-        f"compute={t_compute:.1f}s total={total:.1f}s "
+    result = pipe.ingest_and_run(frame_files, loader, eps_space=EPS_SPACE,
+                                 eps_time=EPS_TIME, min_samples=MIN_SAMPLES)
+    total = time.perf_counter() - t0
+    log(f"TPU [{label}, {max_frames} frames]: total={total:.1f}s "
         f"stages={ {k: round(v, 2) for k, v in result.timings.items()} } "
         f"({result.n_points:,} pts, {result.num_clusters} clusters)")
     return total, result

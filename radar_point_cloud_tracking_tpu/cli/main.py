@@ -228,21 +228,28 @@ def cluster(ctx, ply_file: Path, output_dir: Optional[Path],
 @click.option("--eps-time", type=float, default=2.0)
 @click.option("--min-samples", type=int, default=15)
 @click.option("--intensity-threshold", type=float, default=10.0)
+@click.option("--devices", type=int, default=0,
+              help="Shard the pipeline over this many devices of a frame-"
+                   "axis mesh (0/1 = single chip).")
 @click.pass_context
 def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
           no_land_filter: bool, no_viz: bool, eps_space: float,
           eps_time: float, min_samples: int,
-          intensity_threshold: float) -> None:
+          intensity_threshold: float, devices: int) -> None:
     """Run the temporal object tracking pipeline."""
     from ..models.tracker import run_tracking_pipeline
     from ..utils.logging import CommandTimer, print_summary
 
+    cfg = _load_config(ctx)
+    if devices:
+        cfg = cfg.model_copy(deep=True)
+        cfg.device.num_devices = devices
     timer = CommandTimer()
     result = run_tracking_pipeline(
         data_dir, output_dir, max_frames=max_frames,
         skip_land_filter=no_land_filter, visualize=not no_viz,
         eps_space=eps_space, eps_time=eps_time, min_samples=min_samples,
-        intensity_threshold=intensity_threshold, config=_load_config(ctx))
+        intensity_threshold=intensity_threshold, config=cfg)
     rows = {
         "Frames": str(result.ingested.num_frames),
         "Points": f"{result.n_points:,}",

@@ -92,6 +92,10 @@ class LandFilterConfig(BaseModel):
     grid_resolution_m: float = 5.0
     min_intensity: float = 100.0
     min_frames_required: int = 10  # skip filter below this many frames
+    # decide land verdicts on the host straight from the sparse parse output
+    # (bit-identical results) so filtered points never cross the
+    # host->device wire; requires the native sparse ingest path
+    host_prefilter: bool = True
 
 
 class TrackingConfig(BaseModel):

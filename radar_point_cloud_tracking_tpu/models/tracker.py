@@ -11,6 +11,7 @@ writes artifacts.
 from __future__ import annotations
 
 import functools
+import time as _time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -242,6 +243,223 @@ class TrackingPipeline:
         if self.verbose:
             print(msg)
 
+    def ingest_and_run(
+        self,
+        frame_files: List[Dict[int, Path]],
+        loader: FrameBatchLoader,
+        eps_space: float = 8.0,
+        eps_time: float = 2.0,
+        min_samples: int = 15,
+        skip_land_filter: bool = False,
+    ) -> TrackingResult:
+        """Parse + ingest + full pipeline, choosing the host land prefilter
+        when available.
+
+        With the sparse native ingest and ``land_filter.host_prefilter``,
+        land verdicts are decided on the host straight from the parse output
+        (bit-identical to the device path) so filtered points never cross
+        the host->device wire; otherwise the device land stage runs inside
+        :meth:`run_on_frames`.  ``timings['ingest']`` records the parse +
+        transfer wall time either way.
+        """
+        lf = self.config.land_filter
+        sharded = self.config.device.num_devices > 1
+        use_prefilter = (not skip_land_filter and lf.enabled
+                         and lf.host_prefilter and loader.sparse)
+        run = (self.run_on_frames_sharded if sharded else
+               functools.partial(self.run_on_frames,
+                                 quiet_land_skip=use_prefilter))
+        t0 = _time.perf_counter()
+        if use_prefilter:
+            ingested, info = loader.load_sequence_land_filtered(
+                frame_files,
+                grid_resolution_m=lf.grid_resolution_m,
+                persistence_threshold=lf.persistence_threshold,
+                min_intensity=lf.min_intensity,
+                min_frames_required=lf.min_frames_required)
+            t_ingest = _time.perf_counter() - t0
+            result = run(
+                ingested, eps_space=eps_space, eps_time=eps_time,
+                min_samples=min_samples, skip_land_filter=True)
+            result.land_cells = info["land_cells"]
+            result.land_points_removed = info["points_removed"]
+        else:
+            ingested = loader.load_sequence(frame_files)
+            t_ingest = _time.perf_counter() - t0
+            result = run(
+                ingested, eps_space=eps_space, eps_time=eps_time,
+                min_samples=min_samples, skip_land_filter=skip_land_filter)
+        result.timings = {"ingest": t_ingest, **result.timings}
+        return result
+
+    def run_on_frames_sharded(
+        self,
+        ingested: IngestedFrames,
+        eps_space: float = 8.0,
+        eps_time: float = 2.0,
+        min_samples: int = 15,
+        skip_land_filter: bool = False,
+        n_devices: int = 0,
+    ) -> TrackingResult:
+        """Multi-chip path: the full pipeline as ONE sharded program over a
+        frame-axis device mesh (parallel/pipeline.py).
+
+        Frame count pads to a multiple of the mesh size with empty frames
+        carrying the last real frame id (a no-op for the tracker, sliced off
+        the records).  Capacity overflows (cluster label table, per-frame
+        cluster slots, object table) grow-and-retry like the single-chip
+        path — results are never silently truncated.  Exact-match to the
+        single-chip engine is covered by tests/test_parallel.py.
+        """
+        from ..parallel.mesh import make_frames_mesh
+        from ..parallel.pipeline import sharded_tracking_step
+
+        cfg = self.config
+        timer = StageTimer(verbose=self.verbose)
+        devices = jax.devices()
+        n_dev = n_devices or cfg.device.num_devices or len(devices)
+        if len(devices) < n_dev:
+            raise RuntimeError(
+                f"sharded pipeline needs {n_dev} devices, have "
+                f"{len(devices)}")
+
+        f = ingested.num_frames
+        c = ingested.capacity
+        # the single-hop ppermute halo needs >= halo_k frames per shard
+        halo_k = max(1, int(np.floor(eps_time)))
+        max_shards = max(1, f // halo_k)
+        if n_dev > max_shards:
+            self._log(f"  [mesh] {f} frames support at most {max_shards} "
+                      f"shards at eps_time={eps_time}; using {max_shards} "
+                      f"of {n_dev} devices")
+            n_dev = max_shards
+        mesh = make_frames_mesh(n_dev)
+        f_pad = -(-f // n_dev) * n_dev
+        xyi = ingested.xyi
+        gain = ingested.gain
+        count = ingested.count
+        frame_ids = jnp.asarray(ingested.frame_ids)
+        if f_pad > f:
+            from ..ops.geometry import PAD_COORD
+
+            xyi = jnp.concatenate([
+                xyi, jnp.full((f_pad - f, c, 3), PAD_COORD, xyi.dtype)])
+            gain = jnp.concatenate([
+                gain, jnp.zeros((f_pad - f, c), gain.dtype)])
+            count = jnp.concatenate([
+                count, jnp.zeros((f_pad - f,), count.dtype)])
+            frame_ids = jnp.concatenate([
+                frame_ids,
+                jnp.full((f_pad - f,), ingested.frame_ids[-1], jnp.int32)])
+
+        lf = cfg.land_filter
+        use_land = not skip_land_filter and f > lf.min_frames_required
+        land_args = ()
+        land_shape = None
+        if use_land:
+            with timer.stage("land_edges"):
+                valid0 = ingested.valid_mask().reshape(-1)
+                bounds = _bounds(ingested.xyi.reshape(f * c, 3)[:, :2], valid0)
+                x_min, y_min, x_max, y_max = [float(b) for b in bounds]
+                x_edges = grid_ops.make_edges(x_min, x_max,
+                                              lf.grid_resolution_m)
+                y_edges = grid_ops.make_edges(y_min, y_max,
+                                              lf.grid_resolution_m)
+                land_shape = (len(x_edges) - 1, len(y_edges) - 1)
+                land_args = (jnp.asarray(x_edges, jnp.float32),
+                             jnp.asarray(y_edges, jnp.float32))
+
+        label_cap = 1024
+        max_c = cfg.tracking.max_clusters_per_frame
+        max_obj = cfg.tracking.max_objects
+        with timer.stage("sharded_step"):
+            while True:
+                step = sharded_tracking_step(
+                    mesh, eps_space, eps_time, min_samples,
+                    land_grid_shape=land_shape,
+                    land_persistence=lf.persistence_threshold,
+                    land_min_intensity=lf.min_intensity,
+                    num_frames_real=f,
+                    tile=cfg.clustering.tile_size,
+                    max_sweeps=cfg.clustering.max_label_sweeps,
+                    label_cap=label_cap, max_clusters=max_c,
+                    max_objects=max_obj,
+                    history=cfg.tracking.motion_history_frames,
+                    max_missed=cfg.tracking.max_missed_frames,
+                    max_dist=cfg.tracking.max_association_distance,
+                    stationary=cfg.tracking.stationary_velocity_threshold)
+                labels_fc, num_clusters, converged, state, records, stats = \
+                    step(xyi, count, frame_ids, *land_args)
+                num_clusters = int(num_clusters)
+                if not bool(converged):
+                    raise RuntimeError(
+                        "distributed label propagation hit max_label_sweeps "
+                        f"({cfg.clustering.max_label_sweeps}) before "
+                        "converging; raise clustering.max_label_sweeps")
+                grown = False
+                if int(stats["label_overflow"]) > 0 or num_clusters > label_cap:
+                    label_cap = 1 << max(num_clusters - 1, 1).bit_length()
+                    self._log(f"  [capacity] cluster label table overflow; "
+                              f"growing label_cap to {label_cap}")
+                    grown = True
+                needed = int(jnp.max(stats["present_count"]))
+                if needed > max_c:
+                    max_c = 1 << (needed - 1).bit_length()
+                    self._log(f"  [capacity] {needed} clusters in one frame; "
+                              f"growing max_clusters to {max_c}")
+                    grown = True
+                if int(jnp.sum(records["dropped"])) > 0:
+                    max_obj *= 2
+                    self._log(f"  [capacity] object table full; growing "
+                              f"max_objects to {max_obj}")
+                    grown = True
+                if not grown:
+                    break
+
+        with timer.stage("gather"):
+            keep = np.asarray(stats["keep"])[:f]
+            labels_fc = np.asarray(labels_fc)[:f]
+            xyi_np = np.asarray(ingested.xyi)
+            gain_np = np.asarray(ingested.gain)
+            kept_flat = keep.reshape(-1)
+            n_points = int(kept_flat.sum())
+            flat_xyi = xyi_np.reshape(f * c, 3)[kept_flat]
+            frame_local = np.repeat(np.arange(f, dtype=np.float32), c)[kept_flat]
+            fid_col = np.repeat(
+                np.asarray(ingested.frame_ids, np.float32), c)[kept_flat]
+            gain_col = gain_np.reshape(-1)[kept_flat].astype(np.float32)
+            points = np.column_stack(
+                [flat_xyi, frame_local, fid_col, gain_col])
+            labels = labels_fc.reshape(-1)[kept_flat]
+            state = jax.tree_util.tree_map(
+                lambda a: np.asarray(a), state)
+            records = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:f] if getattr(a, "ndim", 0) else a,
+                records)
+
+        raw_total = int(jnp.sum(ingested.count))
+        return TrackingResult(
+            ingested=ingested,
+            labels_dev=labels,
+            points_dev=points,
+            n_points=n_points,
+            num_clusters=num_clusters,
+            state=state,
+            records=records,
+            cluster_stats={
+                "centroids": np.asarray(stats["centroids"])[:f],
+                "valid": np.asarray(stats["valid"])[:f],
+                "label": np.asarray(stats["label"])[:f],
+                "num_points": np.asarray(stats["num_points"])[:f],
+                "mean_intensity": np.asarray(stats["mean_intensity"])[:f],
+            },
+            land_cells=int(stats["land_cells"]),
+            land_points_removed=raw_total - n_points if use_land else 0,
+            timings=timer.report(),
+            _labels_np=labels,
+            _points_np=points,
+        )
+
     def run_on_frames(
         self,
         ingested: IngestedFrames,
@@ -249,6 +467,7 @@ class TrackingPipeline:
         eps_time: float = 2.0,
         min_samples: int = 15,
         skip_land_filter: bool = False,
+        quiet_land_skip: bool = False,
     ) -> TrackingResult:
         cfg = self.config
         timer = StageTimer(verbose=self.verbose)
@@ -293,7 +512,8 @@ class TrackingPipeline:
                 capacity = _quarter_pow2(total)
                 points, n_points = compact_masked(points0, keep, capacity)
         else:
-            self._log("  Skipping land filter")
+            if not quiet_land_skip:
+                self._log("  Skipping land filter")
             points, n_points, capacity = points0, n_raw, cap0
 
         with timer.stage("st_dbscan"):
@@ -418,15 +638,14 @@ def run_tracking_pipeline(
     loader = FrameBatchLoader(
         config, intensity_threshold=intensity_threshold,
         point_stride=point_stride, verbose=verbose)
-    ingested = loader.load_sequence(frame_files)
-    total_points = int(jnp.sum(ingested.count))
-    pipe._log(f"  Built {ingested.num_frames} frames, {total_points:,} points")
-
     pipe._log("\n[4/6] Land filtering...")
     pipe._log("\n[5/6] + [6/6] Clustering and tracking...")
-    result = pipe.run_on_frames(
-        ingested, eps_space=eps_space, eps_time=eps_time,
+    result = pipe.ingest_and_run(
+        frame_files, loader, eps_space=eps_space, eps_time=eps_time,
         min_samples=min_samples, skip_land_filter=skip_land_filter)
+    total_points = int(jnp.sum(result.ingested.count))
+    pipe._log(f"  Built {result.ingested.num_frames} frames, "
+              f"{total_points:,} points after filtering")
 
     result.save_csvs(output_dir)
     pipe._log(f"\nSaved CSV artifacts to {output_dir}")

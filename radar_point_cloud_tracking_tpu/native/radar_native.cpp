@@ -241,13 +241,22 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     if (row == 0) *gain_out = meta[3];
 
     const bool zero_below = !(0.0f > threshold);
-    // "0,0,0,0," as one 8-byte word: bulk-skips zero runs 4 cells per compare
+    // "0,0,0,0," repeated: bulk-skips zero runs 32 cells per 64-byte compare
+    // (the compiler vectorizes the fixed-size memcmp), narrowing to one
+    // 8-byte word near run ends
     uint64_t zpat;
     memcpy(&zpat, "0,0,0,0,", 8);
+    char zpat64[64];
+    for (int k = 0; k < 64; k += 8) memcpy(zpat64 + k, "0,0,0,0,", 8);
     for (int b = 0; b < num_echo; b++) {
       // fast path: bare "0" cells dominate radar CSVs (only valid while a
       // zero cannot pass the threshold)
       if (zero_below) {
+        while (b + 32 <= num_echo && q + 64 <= line_end &&
+               memcmp(q, zpat64, 64) == 0) {
+          q += 64;
+          b += 32;
+        }
         while (b + 4 <= num_echo && q + 8 <= line_end) {
           uint64_t w;
           memcpy(&w, q, 8);

@@ -91,6 +91,12 @@ def solve_lsa(cost: jnp.ndarray,
         return u, v, p
 
     u0 = jnp.zeros((n + 1,), jnp.float32)
+    # NOTE: classic JV column-reduction duals are deliberately NOT used:
+    # they are only valid for perfect matchings.  This solver stops after
+    # ``num_rows`` augmentations (a partial matching proportional to the
+    # actual detection count), where a free column's nonzero potential would
+    # make reduced-shortest paths diverge from true-shortest ones and yield
+    # non-optimal partial assignments (observed: wrong gating-test matches).
     v0 = jnp.zeros((n + 1,), jnp.float32)
     p0 = jnp.full((n + 1,), -1, jnp.int32)
     _, _, p = jax.lax.fori_loop(0, jnp.minimum(num_rows, n), solve_row,

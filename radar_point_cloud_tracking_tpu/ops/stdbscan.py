@@ -54,10 +54,21 @@ __all__ = ["st_dbscan_device", "st_dbscan", "compute_core_mask"]
 
 
 @jax.jit
-def _init_labels(core: jnp.ndarray) -> jnp.ndarray:
+def _perm2d_and_inv(index: SpatialIndex,
+                    core: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Original index per sorted slot (padded INT_MAX) and the inverse
+    original->slot map used to chase label chains."""
     num_tiles, tile = core.shape
-    slot = jnp.arange(num_tiles * tile, dtype=jnp.int32).reshape(core.shape)
-    return jnp.where(core, slot, INT_MAX)
+    n_sorted = num_tiles * tile
+    n_orig = index.perm.shape[0]
+    perm2d = index.perm.astype(jnp.int32)
+    pad = n_sorted - n_orig
+    if pad:
+        perm2d = jnp.concatenate(
+            [perm2d, jnp.full((pad,), INT_MAX, jnp.int32)])
+    inv = jnp.zeros((n_orig,), jnp.int32).at[index.perm].set(
+        jnp.arange(n_orig, dtype=jnp.int32))
+    return perm2d.reshape(num_tiles, tile), inv
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
@@ -65,18 +76,23 @@ def _cc_step(
     index: SpatialIndex,
     label: jnp.ndarray,
     core: jnp.ndarray,
+    inv: jnp.ndarray,
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
     use_pallas: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One propagation round: neighbor-min sweep + two pointer jumps.
-    Returns (new labels, changed?)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One propagation round: neighbor-min sweep + grandparent hooking +
+    pointer jumps.  Labels are ORIGINAL point indices, so the fixpoint label
+    is directly the component key (min original core index).  Returns
+    (new labels, this round's raw neighbor minima, changed?)."""
     n_sorted = label.size
+    n_orig = inv.shape[0]
     sweep = _min_sweep_impl(use_pallas)
 
     def jump(lbl):
+        # labels are original indices; inv maps them back to sorted slots
         flat = lbl.reshape(-1)
-        tgt = jnp.clip(flat, 0, n_sorted - 1)
+        tgt = inv[jnp.clip(flat, 0, n_orig - 1)]
         jumped = jnp.where(flat < INT_MAX, flat[tgt], INT_MAX)
         return jnp.minimum(flat, jumped).reshape(lbl.shape)
 
@@ -86,11 +102,12 @@ def _cc_step(
 
     # Grandparent hooking (FastSV-style): scatter each point's neighborhood
     # minimum onto its current root slot, so a basin's representative learns
-    # in one sweep what any member saw.  Without this, Morton-adjacent ids
-    # make label chains descend in unit steps and clutter snakes take tens
-    # of sweeps (41 observed) instead of a handful (5).
+    # in one sweep what any member saw.  Without this, adjacent ids make
+    # label chains descend in unit steps and clutter snakes take tens of
+    # sweeps (41 observed) instead of a handful (5).
     flat_old = payload.reshape(-1)
-    tgt = jnp.where(flat_old < INT_MAX, flat_old, n_sorted)
+    tgt = jnp.where(flat_old < INT_MAX,
+                    inv[jnp.clip(flat_old, 0, n_orig - 1)], n_sorted)
     vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
     root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
         vals, mode="drop")[:n_sorted]
@@ -110,7 +127,7 @@ def _cc_step(
 
     new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
                                    (new, jnp.bool_(True), jnp.int32(0)))
-    return new, jnp.any(new != label)
+    return new, nbr_min, jnp.any(new != label)
 
 
 def _min_sweep_impl(use_pallas: bool):
@@ -141,35 +158,19 @@ def _core_stats_impl(use_pallas: bool):
 @jax.jit
 def _finalize_keys(
     index: SpatialIndex,
-    label: jnp.ndarray,
+    comp_key: jnp.ndarray,
     core: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Component keys (min original core index), cluster-id lookup table and
-    per-point original indices.  Returns (comp_key, rank_lookup,
-    num_clusters, perm2d)."""
-    num_tiles, tile = core.shape
-    n_sorted = num_tiles * tile
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cluster-id lookup table from converged component keys (labels ARE the
+    min original core index per component).  Returns (rank_lookup,
+    num_clusters)."""
     n_orig = index.perm.shape[0]
-
-    perm2d = index.perm.astype(jnp.int32)
-    pad = n_sorted - n_orig
-    if pad:
-        perm2d = jnp.concatenate(
-            [perm2d, jnp.full((pad,), INT_MAX, jnp.int32)])
-    perm2d = perm2d.reshape(num_tiles, tile)
-
-    root = jnp.where(core, label, 0).reshape(-1)
-    orig_rank = jnp.where(core, perm2d, INT_MAX).reshape(-1)
-    comp_min = jnp.full((n_sorted,), INT_MAX, jnp.int32).at[root].min(
-        orig_rank, mode="drop")
-    comp_key = jnp.where(core, comp_min[root].reshape(core.shape), INT_MAX)
-
     presence = jnp.zeros((n_orig + 1,), jnp.int32).at[
         jnp.clip(comp_key.reshape(-1), 0, n_orig)].max(
         jnp.where(core.reshape(-1), 1, 0), mode="drop")
     rank_lookup = jnp.cumsum(presence) - 1  # key -> cluster id
     num_clusters = rank_lookup[n_orig] + 1 - presence[n_orig]
-    return comp_key, rank_lookup, num_clusters, perm2d
+    return rank_lookup, num_clusters
 
 
 @jax.jit
@@ -262,35 +263,41 @@ def cluster_index(
     if min_frames > 1:
         core = core & (frame_count >= jnp.int32(min_frames))
 
-    label0 = _init_labels(core)
+    perm2d, inv = _perm2d_and_inv(index, core)
+    label0 = jnp.where(core, perm2d, INT_MAX)
 
     def cond(state):
-        _, changed, it = state
+        _, _, changed, it = state
         return changed & (it < max_sweeps)
 
     def body(state):
-        lbl, _, it = state
-        new, changed = _cc_step(index, lbl, core, eps_space, eps_time,
-                                use_pallas=use_pallas)
-        return new, changed, it + 1
+        lbl, _, _, it = state
+        new, nbr_min, changed = _cc_step(index, lbl, core, inv, eps_space,
+                                         eps_time, use_pallas=use_pallas)
+        return new, nbr_min, changed, it + 1
 
-    label, _, _ = jax.lax.while_loop(cond, body,
-                                     (label0, jnp.bool_(True), jnp.int32(0)))
+    # the loop's final (no-change) sweep saw converged labels, so its raw
+    # neighbor minima ARE the border keys for "always" attachment: each
+    # non-core point's minimum component key over core neighbors — the
+    # separate border sweep is free
+    label, last_nbr_min, _, _ = jax.lax.while_loop(
+        cond, body, (label0, jnp.full_like(label0, INT_MAX),
+                     jnp.bool_(True), jnp.int32(0)))
 
-    sweep = _min_sweep_impl(use_pallas)
-    comp_key, rank_lookup, num_clusters, perm2d = _finalize_keys(
-        index, label, core)
+    comp_key = jnp.where(core, label, INT_MAX)
+    rank_lookup, num_clusters = _finalize_keys(index, comp_key, core)
     if border_mode == "if_earlier":
         # a cluster claims border b when it was created before b was scanned
         # (key < b's original index) OR b directly neighbors the cluster's
         # root core (initial seeds are enqueued unconditionally in the
         # reference BFS, stdbscan_denoising_pipeline.py:343-344)
+        sweep = _min_sweep_impl(use_pallas)
         is_root = core & (comp_key == perm2d)
         border_key = sweep(index, comp_key, eps_space, eps_time,
                            query_limit=perm2d,
                            bypass_limit=is_root, use_limit=True)
     else:
-        border_key = sweep(index, comp_key, eps_space, eps_time)
+        border_key = last_nbr_min
     labels = _assemble_labels(index, core, comp_key, border_key, rank_lookup)
     return labels, num_clusters
 

@@ -301,8 +301,11 @@ def sharded_tracking_step(
             "num_points": cs.num_points,
             "mean_intensity": cs.mean_intensity,
             "present_count": cs.present_count,
+            "keep": valid,  # post-land per-slot validity
             "kept_count": jnp.sum(valid, axis=1).astype(jnp.int32),
             "label_overflow": jax.lax.psum(cs.label_overflow, ax),
+            "land_cells": (jnp.sum(land).astype(jnp.int32) if use_land
+                           else jnp.int32(0)),
         }
         return labels_local, num_clusters, converged, state, records, stats
 
@@ -313,8 +316,9 @@ def sharded_tracking_step(
     stats_specs = {
         "centroids": shard_spec, "valid": shard_spec, "label": shard_spec,
         "num_points": shard_spec, "mean_intensity": shard_spec,
-        "present_count": shard_spec, "kept_count": shard_spec,
-        "label_overflow": P(),
+        "present_count": shard_spec, "keep": shard_spec,
+        "kept_count": shard_spec,
+        "label_overflow": P(), "land_cells": P(),
     }
     sharded = jax.shard_map(
         body, mesh=mesh,

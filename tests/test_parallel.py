@@ -159,3 +159,37 @@ def test_sharded_land_filter_matches_single_chip(mesh8):
     assert labels.shape == xyi.shape[:2]
     np.testing.assert_array_equal(labels, want_labels)
     assert int(num_clusters) == want_k
+
+
+def test_user_surface_sharded_matches_single_chip(mesh8, gain_dataset,
+                                                  tmp_path):
+    """`device.num_devices > 1` drives run_tracking_pipeline through the
+    frame-sharded mesh path end-to-end; CSV artifacts match single-chip."""
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+    from radar_point_cloud_tracking_tpu.models.tracker import (
+        run_tracking_pipeline,
+    )
+
+    def run(n_devices, out):
+        cfg = PipelineConfig()
+        cfg.radar.num_echo_columns = 64
+        cfg.device.num_devices = n_devices
+        cfg.land_filter.min_frames_required = 2
+        cfg.clustering.tile_size = 128
+        return run_tracking_pipeline(
+            gain_dataset, tmp_path / out, eps_space=8.0, eps_time=2.0,
+            min_samples=5, intensity_threshold=10.0, point_stride=2,
+            visualize=False, config=cfg, verbose=False)
+
+    single = run(0, "single")
+    sharded = run(8, "sharded")
+    assert sharded.n_points == single.n_points
+    assert sharded.num_clusters == single.num_clusters
+    np.testing.assert_array_equal(sharded.labels, single.labels)
+    assert sharded.objects_rows() == single.objects_rows()
+    assert sharded.cluster_rows() == single.cluster_rows()
+    assert sharded.trajectory_rows() == single.trajectory_rows()
+    for name in ("tracked_objects.csv", "trajectories.csv", "clusters.csv"):
+        a = (tmp_path / "single" / name).read_text()
+        b = (tmp_path / "sharded" / name).read_text()
+        assert a == b, f"{name} differs between single-chip and sharded"

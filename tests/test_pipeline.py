@@ -316,3 +316,35 @@ def test_sparse_packed_fallbacks_identical(gain_dataset, monkeypatch, mode):
                                   np.asarray(wide.gain))
     np.testing.assert_array_equal(np.asarray(packed.xyi),
                                   np.asarray(wide.xyi))
+
+
+def test_host_land_prefilter_matches_device_path(gain_dataset):
+    """Host-side land prefiltering (filter before the host->device wire)
+    produces bit-identical labels/objects to the on-device land stage."""
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+
+    files_by_gain = rpt.discover_files(gain_dataset)
+    frame_files = rpt.group_files_by_frame(files_by_gain)
+
+    def run(host_prefilter):
+        cfg = PipelineConfig()
+        cfg.radar.num_echo_columns = 64
+        cfg.land_filter.min_frames_required = 2  # activate on 4 frames
+        cfg.land_filter.host_prefilter = host_prefilter
+        loader = FrameBatchLoader(cfg, intensity_threshold=THRESHOLD,
+                                  point_stride=STRIDE, verbose=False,
+                                  frame_capacity=4096)
+        pipe = TrackingPipeline(cfg, verbose=True)
+        return pipe.ingest_and_run(frame_files, loader, EPS_SPACE, EPS_TIME,
+                                   MIN_SAMPLES)
+
+    dev = run(False)
+    pre = run(True)
+    assert pre.land_points_removed > 0  # the persistent blobs are land
+    assert dev.n_points == pre.n_points
+    assert dev.num_clusters == pre.num_clusters
+    np.testing.assert_array_equal(dev.labels, pre.labels)
+    np.testing.assert_array_equal(dev.points, pre.points)
+    assert dev.objects_rows() == pre.objects_rows()
+    assert dev.land_points_removed == pre.land_points_removed
+    assert dev.land_cells == pre.land_cells
