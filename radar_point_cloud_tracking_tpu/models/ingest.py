@@ -245,6 +245,16 @@ class FrameBatchLoader:
         counts = np.zeros((nf,), np.int32)
         angles = np.zeros((nf, g, rows), np.float32)
         scales = np.zeros((nf, g, rows), np.float32)
+
+        def narrow_u16(a):
+            """Ship per-row Angle/Scale tables as uint16 when exact (the CSV
+            columns are integer-valued in practice); device promotion back to
+            f32 reproduces the same values bit-for-bit."""
+            if (a.size and float(a.min()) >= 0.0 and float(a.max()) <= 65535.0
+                    and bool(np.all(a == np.trunc(a)))):
+                return a.astype(np.uint16)
+            return a
+
         if packed_ok:
             pt_key = np.zeros((nf, c), np.int32)
             pt_val = np.zeros((nf, c), np.uint8 if u8_ok else np.float32)
@@ -284,8 +294,8 @@ class FrameBatchLoader:
               off_flat.ravel()[real_start]] = 0
             convert_args = (
                 jnp.asarray(pt_val), jnp.asarray(counts),
-                jnp.asarray(gain_table), jnp.asarray(angles),
-                jnp.asarray(scales),
+                jnp.asarray(gain_table), jnp.asarray(narrow_u16(angles)),
+                jnp.asarray(narrow_u16(scales)),
                 jnp.float32(self.config.radar.angle_scale))
             if d.max(initial=0) <= _DELTA_MAX and d.min(initial=0) >= 0:
                 xyi, gain_dev = convert_sparse_frames_delta(
@@ -499,10 +509,14 @@ class FrameBatchLoader:
             raise RuntimeError(
                 "host land prefiltering requires the sparse native-parse "
                 "ingest path (sparse=True)")
+        import time as _t
+
         num_bins = self.config.radar.num_echo_columns
         angle_scale = np.float32(self.config.radar.angle_scale)
 
+        t0 = _t.perf_counter()
         frames = list(self._parsed_stream(frame_files_list))
+        t_parse = _t.perf_counter() - t0
         if len(frames) <= min_frames_required:
             # too few frames for a persistence verdict (reference skips the
             # filter below this count, 4_temporal_object_tracker.py:952)
@@ -514,77 +528,78 @@ class FrameBatchLoader:
                                   ingested.count))),
                               "num_frames": len(frames), "skipped": 1}
 
-        # per-sweep Cartesian conversion (reference op order, all float32)
-        xs, ys, vs = [], [], []
+        t0 = _t.perf_counter()
+        # Per-row float32 tables in the reference's op order: the native
+        # streaming kernels then compute x = (scale_div[r]*bin)*cos_r[r]
+        # bit-identically, with no per-point Python-heap arrays (this host's
+        # large-allocation page faults are pathologically slow and variable).
+        from .. import native
+
+        tables = []  # per (frame, sweep): (scale_div, cos_r, sin_r)
+        raw_points = 0
+        bounds = np.array([np.inf, -np.inf, np.inf, -np.inf], np.float32)
         for _, _, sweeps in frames:
+            row = []
             for gain, rows_a, bins_a, vals_a, ang_units, scales, _ in sweeps:
                 ang = np.deg2rad(ang_units * angle_scale)
-                cos_r = np.cos(ang)
-                sin_r = np.sin(ang)
-                scale_div = scales / np.float32(num_bins)
-                r = scale_div[rows_a] * bins_a.astype(np.float32)
-                xs.append(r * cos_r[rows_a])
-                ys.append(r * sin_r[rows_a])
-                vs.append(vals_a)
-        if not xs:
+                t = (scales / np.float32(num_bins), np.cos(ang), np.sin(ang))
+                row.append(t)
+                native.sweep_xy_bounds(rows_a, bins_a, *t, bounds)
+                raw_points += len(rows_a)
+            tables.append(row)
+        if not raw_points:
             raise ValueError("No frames produced any points")
-        all_x = np.concatenate(xs)
-        all_y = np.concatenate(ys)
-        raw_points = len(all_x)
 
         # persistence occupancy grid (np.digitize semantics on np.arange
         # edges; float64 intensity accumulation like the reference)
-        x_edges = np.arange(float(all_x.min()),
-                            float(all_x.max()) + grid_resolution_m,
+        x_edges = np.arange(float(bounds[0]),
+                            float(bounds[1]) + grid_resolution_m,
                             grid_resolution_m)
-        y_edges = np.arange(float(all_y.min()),
-                            float(all_y.max()) + grid_resolution_m,
+        y_edges = np.arange(float(bounds[2]),
+                            float(bounds[3]) + grid_resolution_m,
                             grid_resolution_m)
         nx, ny = len(x_edges) - 1, len(y_edges) - 1
-        xi = np.clip(np.digitize(all_x, x_edges) - 1, 0, nx - 1)
-        yi = np.clip(np.digitize(all_y, y_edges) - 1, 0, ny - 1)
-        cell = xi.astype(np.int64) * ny + yi
-        del all_x, all_y, xi, yi
-        all_v = np.concatenate(vs).astype(np.float64)
-        count = np.bincount(cell, minlength=nx * ny)
-        isum = np.bincount(cell, weights=all_v, minlength=nx * ny)
-        del all_v
+        count = np.zeros(nx * ny, np.int64)
+        isum = np.zeros(nx * ny, np.float64)
+        for (_, _, sweeps), row in zip(frames, tables):
+            for (gain, rows_a, bins_a, vals_a, *_), t in zip(sweeps, row):
+                native.land_grid_accumulate(rows_a, bins_a, vals_a, *t,
+                                            x_edges, y_edges, count, isum)
         num_frames = len(frames)
         persistence = count / max(num_frames, 1)
         with np.errstate(divide="ignore", invalid="ignore"):
             avg = np.where(count > 0, isum / count, 0)
         land = ((persistence >= persistence_threshold)
                 & (avg >= min_intensity))
-        keep_all = ~land[cell]
-        del cell
+        land_u8 = land.astype(np.uint8)
+        t_grid = _t.perf_counter() - t0
 
         # filter the sparse arrays in place (order preserved); frames and
         # sweeps are kept even when fully emptied — the reference tracker
         # still steps on land-emptied frames, so they must occupy a slot
         filtered = []
-        off = 0
         removed = 0
-        for i, ts_ms, sweeps in frames:
+        for (i, ts_ms, sweeps), row in zip(frames, tables):
             new_sweeps = []
-            for gain, rows_a, bins_a, vals_a, ang_units, scales, u8 in sweeps:
+            for (gain, rows_a, bins_a, vals_a, ang_units, scales, u8), t \
+                    in zip(sweeps, row):
                 n = len(rows_a)
-                keep = keep_all[off:off + n]
-                off += n
-                removed += n - int(keep.sum())
-                if keep.all():
-                    new_sweeps.append((gain, rows_a, bins_a, vals_a,
-                                       ang_units, scales, u8))
-                else:
-                    new_sweeps.append((gain, rows_a[keep], bins_a[keep],
-                                       vals_a[keep], ang_units, scales, u8))
+                kept = native.land_filter_sweep(rows_a, bins_a, vals_a, *t,
+                                                x_edges, y_edges, land_u8)
+                removed += n - kept
+                new_sweeps.append((gain, rows_a[:kept], bins_a[:kept],
+                                   vals_a[:kept], ang_units, scales, u8))
             filtered.append((i, ts_ms, new_sweeps))
         if self.verbose:
             print(f"  Host land prefilter: {int(land.sum())} land cells; "
                   f"removed {removed:,}/{raw_points:,} points before "
                   "device transfer")
 
+        t0 = _t.perf_counter()
         ingested = self._pack_stream(iter(filtered), len(frame_files_list),
                                      chunk_frames, progress_every)
         info = {"land_cells": int(land.sum()), "points_removed": removed,
-                "raw_points": raw_points, "num_frames": num_frames}
+                "raw_points": raw_points, "num_frames": num_frames,
+                "t_parse": t_parse, "t_grid": t_grid,
+                "t_pack": _t.perf_counter() - t0}
         return ingested, info

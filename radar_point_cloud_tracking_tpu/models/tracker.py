@@ -54,13 +54,15 @@ class TrackingResult:
     n_points: int
     num_clusters: int
     state: TrackerState  # final tracker state (numpy leaves)
-    records: dict  # per-frame tracking records (numpy)
-    cluster_stats: dict  # per-frame compacted cluster stats (numpy)
+    records_dev: dict  # per-frame tracking records (device or numpy leaves)
+    cluster_stats_dev: object  # per-frame compacted ClusterStats (device)
     land_cells: int = 0
     land_points_removed: int = 0
     timings: Dict[str, float] = field(default_factory=dict)
     _labels_np: Optional[np.ndarray] = field(default=None, repr=False)
     _points_np: Optional[np.ndarray] = field(default=None, repr=False)
+    _records_np: Optional[dict] = field(default=None, repr=False)
+    _cluster_stats_np: Optional[dict] = field(default=None, repr=False)
 
     @property
     def labels(self) -> np.ndarray:
@@ -73,6 +75,26 @@ class TrackingResult:
         if self._points_np is None:
             self._points_np = np.asarray(self.points_dev)[:self.n_points]
         return self._points_np
+
+    @property
+    def records(self) -> dict:
+        if self._records_np is None:
+            self._records_np = jax.tree_util.tree_map(np.asarray,
+                                                      self.records_dev)
+        return self._records_np
+
+    @property
+    def cluster_stats(self) -> dict:
+        if self._cluster_stats_np is None:
+            cs = self.cluster_stats_dev
+            self._cluster_stats_np = {
+                "centroids": np.asarray(cs["centroids"]),
+                "valid": np.asarray(cs["valid"]),
+                "label": np.asarray(cs["label"]),
+                "num_points": np.asarray(cs["num_points"]),
+                "mean_intensity": np.asarray(cs["mean_intensity"]),
+            }
+        return self._cluster_stats_np
 
     # -- summaries --------------------------------------------------------
     def objects_rows(self) -> List[dict]:
@@ -283,6 +305,9 @@ class TrackingPipeline:
                 min_samples=min_samples, skip_land_filter=True)
             result.land_cells = info["land_cells"]
             result.land_points_removed = info["points_removed"]
+            for k in ("t_parse", "t_grid", "t_pack"):
+                if k in info:
+                    result.timings[f"ingest_{k[2:]}"] = info[k]
         else:
             ingested = loader.load_sequence(frame_files)
             t_ingest = _time.perf_counter() - t0
@@ -445,8 +470,8 @@ class TrackingPipeline:
             n_points=n_points,
             num_clusters=num_clusters,
             state=state,
-            records=records,
-            cluster_stats={
+            records_dev=records,
+            cluster_stats_dev={
                 "centroids": np.asarray(stats["centroids"])[:f],
                 "valid": np.asarray(stats["valid"])[:f],
                 "label": np.asarray(stats["label"])[:f],
@@ -572,8 +597,11 @@ class TrackingPipeline:
                           f"creation(s) dropped at max_objects={max_obj}; "
                           "growing and re-tracking")
                 max_obj *= 2
+            # the final state is small (object-table arrays) and every caller
+            # reads it; the bulky per-frame records/cluster tables pull from
+            # device lazily (d2h through the tunnel costs ~0.5s per 100
+            # frames — only artifact writers and plots need them)
             state = jax.tree_util.tree_map(np.asarray, state)
-            records = jax.tree_util.tree_map(np.asarray, records)
 
         return TrackingResult(
             ingested=ingested,
@@ -582,13 +610,13 @@ class TrackingPipeline:
             n_points=n_points,
             num_clusters=num_clusters,
             state=state,
-            records=records,
-            cluster_stats={
-                "centroids": np.asarray(centroids),
-                "valid": np.asarray(cvalid),
-                "label": np.asarray(clabel),
-                "num_points": np.asarray(cnum),
-                "mean_intensity": np.asarray(cmi),
+            records_dev=records,
+            cluster_stats_dev={
+                "centroids": centroids,
+                "valid": cvalid,
+                "label": clabel,
+                "num_points": cnum,
+                "mean_intensity": cmi,
             },
             land_cells=land_cells,
             land_points_removed=removed,

@@ -84,6 +84,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int),
     ]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.sweep_xy_bounds.restype = None
+    lib.sweep_xy_bounds.argtypes = [
+        u16p, u16p, ctypes.c_longlong, f32p, f32p, f32p, f32p,
+    ]
+    lib.land_grid_accumulate.restype = None
+    lib.land_grid_accumulate.argtypes = [
+        u16p, u16p, f32p, ctypes.c_longlong, f32p, f32p, f32p,
+        f64p, ctypes.c_int, f64p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_longlong), f64p,
+    ]
+    lib.land_filter_sweep.restype = ctypes.c_longlong
+    lib.land_filter_sweep.argtypes = [
+        u16p, u16p, f32p, ctypes.c_longlong, f32p, f32p, f32p,
+        f64p, ctypes.c_int, f64p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -176,3 +195,45 @@ def parse_radar_points(path: Path, num_echo: int, threshold: float,
     r = rows_out.value
     return (pt_row[:n], pt_bin[:n], pt_val[:n], row_angle[:r], row_scale[:r],
             int(gain_out.value), bool(u8_ok.value))
+
+
+def _u16p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def _f64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def sweep_xy_bounds(rows: np.ndarray, bins: np.ndarray, scale_div: np.ndarray,
+                    cos_r: np.ndarray, sin_r: np.ndarray,
+                    io_bounds: np.ndarray) -> None:
+    """Fold one sweep's x/y extents into io_bounds {xmin,xmax,ymin,ymax}."""
+    assert _lib is not None
+    _lib.sweep_xy_bounds(_u16p(rows), _u16p(bins), len(rows),
+                         _fptr(scale_div), _fptr(cos_r), _fptr(sin_r),
+                         _fptr(io_bounds))
+
+
+def land_grid_accumulate(rows, bins, vals, scale_div, cos_r, sin_r,
+                         x_edges, y_edges, count, vsum) -> None:
+    """Accumulate one sweep into per-cell (count int64, intensity-sum f64)."""
+    assert _lib is not None
+    _lib.land_grid_accumulate(
+        _u16p(rows), _u16p(bins), _fptr(vals), len(rows),
+        _fptr(scale_div), _fptr(cos_r), _fptr(sin_r),
+        _f64p(x_edges), len(x_edges), _f64p(y_edges), len(y_edges),
+        count.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        _f64p(vsum))
+
+
+def land_filter_sweep(rows, bins, vals, scale_div, cos_r, sin_r,
+                      x_edges, y_edges, land_u8) -> int:
+    """In-place compaction of one sweep's points to non-land cells; returns
+    the surviving count."""
+    assert _lib is not None
+    return int(_lib.land_filter_sweep(
+        _u16p(rows), _u16p(bins), _fptr(vals), len(rows),
+        _fptr(scale_div), _fptr(cos_r), _fptr(sin_r),
+        _f64p(x_edges), len(x_edges), _f64p(y_edges), len(y_edges),
+        land_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))))

@@ -426,4 +426,102 @@ int parse_ascii_rows(const char *path, int64_t offset, int64_t n, int ncols,
     return (int)row;
 }
 
+// ---------------------------------------------------------------------------
+// Host land-filter streaming kernels
+// ---------------------------------------------------------------------------
+//
+// The persistence land filter (4_temporal_object_tracker.py:359-436) runs on
+// the host so filtered points never cross the host->device wire.  These
+// kernels stream the sparse parse buffers (rows/bins/vals) directly — no
+// per-point Python-heap arrays, whose first-touch page faults are
+// pathologically slow and variable on this host.  Caller precomputes the
+// per-row float32 tables (scale/num_bins, cos(angle), sin(angle)) with NumPy
+// so x = (scale_div[r]*bin)*cos_r[r] reproduces the reference's float32 op
+// order bit-for-bit; bin edges arrive as the caller's exact np.arange
+// float64 arrays and lookup replicates np.digitize (upper_bound, then -1,
+// then clip).
+
+// np.digitize(x, edges) == index of first edge > x (increasing edges).
+static inline int digitize_clip_c(double x, const double *edges, int n_edges,
+                                  int n_cells) {
+    int lo = 0, hi = n_edges;
+    while (lo < hi) {
+        int mid = (lo + hi) >> 1;
+        if (edges[mid] <= x) lo = mid + 1; else hi = mid;
+    }
+    int idx = lo - 1;
+    if (idx < 0) idx = 0;
+    if (idx > n_cells - 1) idx = n_cells - 1;
+    return idx;
+}
+
+// Fold one sweep's x/y extents into io_bounds = {xmin, xmax, ymin, ymax}.
+void sweep_xy_bounds(const uint16_t *rows, const uint16_t *bins, long long n,
+                     const float *scale_div, const float *cos_r,
+                     const float *sin_r, float *io_bounds) {
+    float xmin = io_bounds[0], xmax = io_bounds[1];
+    float ymin = io_bounds[2], ymax = io_bounds[3];
+    for (long long i = 0; i < n; i++) {
+        int r = rows[i];
+        float rr = scale_div[r] * (float)bins[i];
+        float x = rr * cos_r[r];
+        float y = rr * sin_r[r];
+        if (x < xmin) xmin = x;
+        if (x > xmax) xmax = x;
+        if (y < ymin) ymin = y;
+        if (y > ymax) ymax = y;
+    }
+    io_bounds[0] = xmin; io_bounds[1] = xmax;
+    io_bounds[2] = ymin; io_bounds[3] = ymax;
+}
+
+// Accumulate one sweep into the occupancy grid: per-cell point count and
+// float64 intensity sum in point order (bit-identical to np.bincount).
+void land_grid_accumulate(const uint16_t *rows, const uint16_t *bins,
+                          const float *vals, long long n,
+                          const float *scale_div, const float *cos_r,
+                          const float *sin_r, const double *x_edges,
+                          int n_x_edges, const double *y_edges, int n_y_edges,
+                          long long *count, double *vsum) {
+    int nx = n_x_edges - 1, ny = n_y_edges - 1;
+    for (long long i = 0; i < n; i++) {
+        int r = rows[i];
+        float rr = scale_div[r] * (float)bins[i];
+        float x = rr * cos_r[r];
+        float y = rr * sin_r[r];
+        int xi = digitize_clip_c((double)x, x_edges, n_x_edges, nx);
+        int yi = digitize_clip_c((double)y, y_edges, n_y_edges, ny);
+        long long cell = (long long)xi * ny + yi;
+        count[cell] += 1;
+        vsum[cell] += (double)vals[i];
+    }
+}
+
+// Compact one sweep in place, keeping points whose cell is not land.
+// Returns the surviving count.
+long long land_filter_sweep(uint16_t *rows, uint16_t *bins, float *vals,
+                            long long n, const float *scale_div,
+                            const float *cos_r, const float *sin_r,
+                            const double *x_edges, int n_x_edges,
+                            const double *y_edges, int n_y_edges,
+                            const uint8_t *land) {
+    int nx = n_x_edges - 1, ny = n_y_edges - 1;
+    long long w = 0;
+    for (long long i = 0; i < n; i++) {
+        int r = rows[i];
+        float rr = scale_div[r] * (float)bins[i];
+        float x = rr * cos_r[r];
+        float y = rr * sin_r[r];
+        int xi = digitize_clip_c((double)x, x_edges, n_x_edges, nx);
+        int yi = digitize_clip_c((double)y, y_edges, n_y_edges, ny);
+        if (!land[(long long)xi * ny + yi]) {
+            rows[w] = rows[i];
+            bins[w] = bins[i];
+            vals[w] = vals[i];
+            w++;
+        }
+    }
+    return w;
+}
+
 }  // extern "C"
