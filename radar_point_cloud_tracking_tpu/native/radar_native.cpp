@@ -442,17 +442,25 @@ int parse_ascii_rows(const char *path, int64_t offset, int64_t n, int ncols,
 // then clip).
 
 // np.digitize(x, edges) == index of first edge > x (increasing edges).
+// The edges are uniform np.arange grids, so a direct divide lands on (or
+// within one slot of) the right cell; the adjustment loops then make the
+// result exactly np.digitize's — the verdict is always decided by
+// comparisons against the caller's true float64 edge values, never by the
+// guess itself.
 static inline int digitize_clip_c(double x, const double *edges, int n_edges,
-                                  int n_cells) {
-    int lo = 0, hi = n_edges;
-    while (lo < hi) {
-        int mid = (lo + hi) >> 1;
-        if (edges[mid] <= x) lo = mid + 1; else hi = mid;
-    }
-    int idx = lo - 1;
-    if (idx < 0) idx = 0;
-    if (idx > n_cells - 1) idx = n_cells - 1;
-    return idx;
+                                  int n_cells, double inv_step) {
+    int i = (int)((x - edges[0]) * inv_step);
+    if (i < 0) i = 0;
+    else if (i > n_edges - 2) i = n_edges - 2;
+    while (i + 1 < n_edges && edges[i + 1] <= x) i++;
+    while (i >= 0 && edges[i] > x) i--;
+    if (i < 0) i = 0;
+    if (i > n_cells - 1) i = n_cells - 1;
+    return i;
+}
+
+static inline double edge_inv_step(const double *edges, int n_edges) {
+    return n_edges > 1 ? 1.0 / (edges[1] - edges[0]) : 0.0;
 }
 
 // Fold one sweep's x/y extents into io_bounds = {xmin, xmax, ymin, ymax}.
@@ -484,13 +492,15 @@ void land_grid_accumulate(const uint16_t *rows, const uint16_t *bins,
                           int n_x_edges, const double *y_edges, int n_y_edges,
                           long long *count, double *vsum) {
     int nx = n_x_edges - 1, ny = n_y_edges - 1;
+    double ixs = edge_inv_step(x_edges, n_x_edges);
+    double iys = edge_inv_step(y_edges, n_y_edges);
     for (long long i = 0; i < n; i++) {
         int r = rows[i];
         float rr = scale_div[r] * (float)bins[i];
         float x = rr * cos_r[r];
         float y = rr * sin_r[r];
-        int xi = digitize_clip_c((double)x, x_edges, n_x_edges, nx);
-        int yi = digitize_clip_c((double)y, y_edges, n_y_edges, ny);
+        int xi = digitize_clip_c((double)x, x_edges, n_x_edges, nx, ixs);
+        int yi = digitize_clip_c((double)y, y_edges, n_y_edges, ny, iys);
         long long cell = (long long)xi * ny + yi;
         count[cell] += 1;
         vsum[cell] += (double)vals[i];
@@ -506,14 +516,16 @@ long long land_filter_sweep(uint16_t *rows, uint16_t *bins, float *vals,
                             const double *y_edges, int n_y_edges,
                             const uint8_t *land) {
     int nx = n_x_edges - 1, ny = n_y_edges - 1;
+    double ixs = edge_inv_step(x_edges, n_x_edges);
+    double iys = edge_inv_step(y_edges, n_y_edges);
     long long w = 0;
     for (long long i = 0; i < n; i++) {
         int r = rows[i];
         float rr = scale_div[r] * (float)bins[i];
         float x = rr * cos_r[r];
         float y = rr * sin_r[r];
-        int xi = digitize_clip_c((double)x, x_edges, n_x_edges, nx);
-        int yi = digitize_clip_c((double)y, y_edges, n_y_edges, ny);
+        int xi = digitize_clip_c((double)x, x_edges, n_x_edges, nx, ixs);
+        int yi = digitize_clip_c((double)y, y_edges, n_y_edges, ny, iys);
         if (!land[(long long)xi * ny + yi]) {
             rows[w] = rows[i];
             bins[w] = bins[i];
