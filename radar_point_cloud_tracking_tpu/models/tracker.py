@@ -30,7 +30,9 @@ from ..ops.tracking import (
     TYPE_BUOY,
     TYPE_UNKNOWN,
     TrackerState,
+    pack_state_with,
     track_sequence,
+    unpack_state,
 )
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
@@ -552,8 +554,10 @@ class TrackingPipeline:
                 tile=cfg.clustering.tile_size,
                 max_sweeps=cfg.clustering.max_label_sweeps,
                 use_pallas=use_pallas)
-            num_clusters = int(num_clusters)
-            n_points = int(n_points)  # pulled after the clustering dispatch
+            # one packed pull (each d2h costs ~30 ms flat)
+            pair = np.asarray(jnp.stack([jnp.asarray(num_clusters, jnp.int32),
+                                         jnp.asarray(n_points, jnp.int32)]))
+            num_clusters, n_points = int(pair[0]), int(pair[1])
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 
         # ---- per-frame cluster stats ------------------------------------
@@ -590,18 +594,22 @@ class TrackingPipeline:
                     max_missed=cfg.tracking.max_missed_frames,
                     max_dist=cfg.tracking.max_association_distance,
                     stationary=cfg.tracking.stationary_velocity_threshold)
-                n_dropped = int(jnp.sum(records["dropped"]))
+                # one packed transfer carries the dropped-creation count AND
+                # the full final state (each d2h costs ~30 ms flat; the ten
+                # state leaves pulled separately cost ~0.3 s).  The bulky
+                # per-frame records/cluster tables stay on device and pull
+                # lazily — only artifact writers and plots need them.
+                packed = np.asarray(pack_state_with(
+                    state, jnp.sum(records["dropped"]).reshape(1)))
+                dropped, state = unpack_state(
+                    packed, max_obj, cfg.tracking.motion_history_frames, 1)
+                n_dropped = int(dropped[0])
                 if n_dropped == 0:
                     break
                 self._log(f"  [capacity] object table full: {n_dropped} "
                           f"creation(s) dropped at max_objects={max_obj}; "
                           "growing and re-tracking")
                 max_obj *= 2
-            # the final state is small (object-table arrays) and every caller
-            # reads it; the bulky per-frame records/cluster tables pull from
-            # device lazily (d2h through the tunnel costs ~0.5s per 100
-            # frames — only artifact writers and plots need them)
-            state = jax.tree_util.tree_map(np.asarray, state)
 
         return TrackingResult(
             ingested=ingested,

@@ -33,6 +33,7 @@ __all__ = [
     "build_spatial_index",
     "neighbor_core_stats",
     "neighbor_min_sweep",
+    "neighbor_min_sweep_gated",
 ]
 
 INT_MAX = np.int32(2**31 - 1)
@@ -324,23 +325,89 @@ def neighbor_min_sweep(
     return _unchunk(out, qorder, num_tiles, tile)
 
 
-def _chunked(index: SpatialIndex, chunk: int):
+def _chunked(index: SpatialIndex, chunk: int, qorder=None, cand_idx=None,
+             cand_count=None):
     """Gather tile arrays in candidate-count-sorted order and reshape to
-    (num_chunks, chunk, ...) for lax.map.  Returns (chunk arrays, qorder)."""
+    (num_chunks, chunk, ...) for lax.map.  Returns (chunk arrays, qorder).
+    ``qorder``/``cand_idx``/``cand_count`` override the index's own (used by
+    the gated incremental sweep, whose candidate lists shrink per round)."""
     num_tiles, tile = index.num_tiles, index.tile
     c = min(chunk, num_tiles)
     while num_tiles % c:
         c -= 1
     nc = num_tiles // c
     d = index.coords.shape[-1]
-    o = index.qorder
+    o = index.qorder if qorder is None else qorder
+    ci = index.cand_idx if cand_idx is None else cand_idx
+    cc = index.cand_count if cand_count is None else cand_count
     return (
         index.coords[o].reshape(nc, c, tile, d),
         index.times[o].reshape(nc, c, tile),
         index.valid[o].reshape(nc, c, tile),
-        index.cand_idx[o].reshape(nc, c, -1),
-        index.cand_count[o].reshape(nc, c),
+        ci[o].reshape(nc, c, -1),
+        cc[o].reshape(nc, c),
     ), o
+
+
+@jax.jit
+def neighbor_min_sweep_gated(
+    index: SpatialIndex,
+    payload: jnp.ndarray,  # (Ntiles, T) int32; masked-out points = INT_MAX
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    acc: jnp.ndarray,  # (Ntiles, T) int32 monotone accumulator
+    tile_changed: jnp.ndarray,  # (Ntiles,) bool
+) -> jnp.ndarray:
+    """Incremental neighbor-min: rescan only candidates in changed tiles,
+    folding their payload minima into ``acc``.
+
+    Because label propagation is monotone (payloads only decrease) and every
+    decrease marks its tile changed, ``min(acc, fresh gated minima)`` equals
+    the full sweep's result at every round — later rounds touch a shrinking
+    frontier instead of the whole candidate table.  With ``tile_changed``
+    all-True and ``acc`` all-INT_MAX this is exactly ``neighbor_min_sweep``.
+    """
+    eps2 = eps_space * eps_space
+    coords, times, valid = index.coords, index.times, index.valid
+    num_tiles, tile = index.num_tiles, index.tile
+    k = index.cand_idx.shape[1]
+
+    # candidate lists narrowed to changed tiles, changed-first
+    cvalid = jnp.arange(k, dtype=jnp.int32)[None, :] < index.cand_count[:, None]
+    want = tile_changed[index.cand_idx] & cvalid
+    order = jnp.argsort(~want, axis=1, stable=True)
+    cand_idx2 = jnp.take_along_axis(index.cand_idx, order, axis=1)
+    cand_count2 = jnp.sum(want, axis=1, dtype=jnp.int32)
+    qorder2 = jnp.argsort(cand_count2, stable=True).astype(jnp.int32)
+
+    def chunk_fn(args):
+        qc, qt, qv, cands, ccount, acc0 = args
+        kmax = jnp.max(ccount)
+
+        def cond(state):
+            return state[0] < kmax
+
+        def body(state):
+            kk, a = state
+            cidx = cands[:, kk]
+            live = kk < ccount
+            cc = coords[cidx]
+            ct = times[cidx]
+            cv = valid[cidx] & live[:, None]
+            mask, _ = _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time)
+            pay = payload[cidx][:, None, :]
+            cand_min = jnp.min(jnp.where(mask, pay, INT_MAX), axis=2)
+            return kk + 1, jnp.minimum(a, cand_min)
+
+        _, a = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+        return a
+
+    qcs, qorder = _chunked(index, _QUERY_CHUNK, qorder=qorder2,
+                           cand_idx=cand_idx2, cand_count=cand_count2)
+    nc = qcs[0].shape[0]
+    qcs = qcs + (acc[qorder].reshape(nc, -1, tile),)
+    out = jax.lax.map(chunk_fn, qcs)
+    return _unchunk(out, qorder, num_tiles, tile)
 
 
 def _unchunk(chunked: jnp.ndarray, qorder: jnp.ndarray, num_tiles: int,

@@ -48,6 +48,7 @@ from .neighbors import (
     build_spatial_index,
     neighbor_core_stats,
     neighbor_min_sweep,
+    neighbor_min_sweep_gated,
 )
 
 __all__ = ["st_dbscan_device", "st_dbscan", "compute_core_mask"]
@@ -116,6 +117,58 @@ def _cc_step(
 
     # Pointer-jump to fixpoint: each round halves chain lengths; jumps are
     # dense gathers (cheap), sweeps are not.
+    def jump_until(state):
+        lbl, changed, it = state
+        j = jump(lbl)
+        return j, jnp.any(j != lbl), it + 1
+
+    def jump_cond(state):
+        _, changed, it = state
+        return changed & (it < 16)
+
+    new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
+                                   (new, jnp.bool_(True), jnp.int32(0)))
+    return new, nbr_min, jnp.any(new != label)
+
+
+@jax.jit
+def _cc_step_gated(
+    index: SpatialIndex,
+    label: jnp.ndarray,
+    core: jnp.ndarray,
+    inv: jnp.ndarray,
+    acc: jnp.ndarray,
+    tile_changed: jnp.ndarray,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Incremental :func:`_cc_step`: the neighbor-min sweep rescans only
+    candidates in changed tiles (see neighbor_min_sweep_gated); hooking and
+    pointer jumps are identical.  ``acc`` carries the monotone per-point
+    neighbor minima across rounds and equals the full sweep's result."""
+    n_sorted = label.size
+    n_orig = inv.shape[0]
+
+    def jump(lbl):
+        flat = lbl.reshape(-1)
+        tgt = inv[jnp.clip(flat, 0, n_orig - 1)]
+        jumped = jnp.where(flat < INT_MAX, flat[tgt], INT_MAX)
+        return jnp.minimum(flat, jumped).reshape(lbl.shape)
+
+    payload = jnp.where(core, label, INT_MAX)
+    nbr_min = neighbor_min_sweep_gated(index, payload, eps_space, eps_time,
+                                       acc, tile_changed)
+    new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
+
+    flat_old = payload.reshape(-1)
+    tgt = jnp.where(flat_old < INT_MAX,
+                    inv[jnp.clip(flat_old, 0, n_orig - 1)], n_sorted)
+    vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
+    root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
+        vals, mode="drop")[:n_sorted]
+    new = jnp.minimum(new, jnp.where(core, root_min.reshape(new.shape),
+                                     INT_MAX))
+
     def jump_until(state):
         lbl, changed, it = state
         j = jump(lbl)
@@ -266,23 +319,47 @@ def cluster_index(
     perm2d, inv = _perm2d_and_inv(index, core)
     label0 = jnp.where(core, perm2d, INT_MAX)
 
-    def cond(state):
-        _, _, changed, it = state
-        return changed & (it < max_sweeps)
+    if use_pallas:
+        def cond(state):
+            _, _, changed, it = state
+            return changed & (it < max_sweeps)
 
-    def body(state):
-        lbl, _, _, it = state
-        new, nbr_min, changed = _cc_step(index, lbl, core, inv, eps_space,
-                                         eps_time, use_pallas=use_pallas)
-        return new, nbr_min, changed, it + 1
+        def body(state):
+            lbl, _, _, it = state
+            new, nbr_min, changed = _cc_step(index, lbl, core, inv,
+                                             eps_space, eps_time,
+                                             use_pallas=True)
+            return new, nbr_min, changed, it + 1
 
-    # the loop's final (no-change) sweep saw converged labels, so its raw
-    # neighbor minima ARE the border keys for "always" attachment: each
-    # non-core point's minimum component key over core neighbors — the
-    # separate border sweep is free
-    label, last_nbr_min, _, _ = jax.lax.while_loop(
-        cond, body, (label0, jnp.full_like(label0, INT_MAX),
-                     jnp.bool_(True), jnp.int32(0)))
+        # the loop's final (no-change) sweep saw converged labels, so its
+        # raw neighbor minima ARE the border keys for "always" attachment
+        label, last_nbr_min, _, _ = jax.lax.while_loop(
+            cond, body, (label0, jnp.full_like(label0, INT_MAX),
+                         jnp.bool_(True), jnp.int32(0)))
+    else:
+        # Incremental frontier loop: propagation is monotone, so each round
+        # rescans only candidates in tiles whose labels changed last round,
+        # folding minima into a per-point accumulator.  The accumulator
+        # equals the full sweep's neighbor-min at every round (every label
+        # decrease marks its tile changed, forcing a rescan), so at
+        # convergence it is also exactly the "always" border key — and the
+        # tail rounds plus the final confirming round shrink from full
+        # candidate-table sweeps to a near-empty frontier.
+        def cond(state):
+            return state[3] & (state[4] < max_sweeps)
+
+        def body(state):
+            lbl, acc, tchanged, _, it = state
+            new, acc2, changed = _cc_step_gated(index, lbl, core, inv, acc,
+                                                tchanged, eps_space,
+                                                eps_time)
+            return (new, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
+
+        label, last_nbr_min, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (label0, jnp.full_like(label0, INT_MAX),
+             jnp.ones((index.num_tiles,), bool), jnp.bool_(True),
+             jnp.int32(0)))
 
     comp_key = jnp.where(core, label, INT_MAX)
     rank_lookup, num_clusters = _finalize_keys(index, comp_key, core)

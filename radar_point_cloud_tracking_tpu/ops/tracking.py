@@ -30,7 +30,8 @@ from ..config import TrackingConfig
 from .hungarian import solve_lsa
 
 __all__ = ["TrackerState", "init_tracker_state", "tracker_step",
-           "track_sequence", "TYPE_UNKNOWN", "TYPE_BUOY", "TYPE_BOAT"]
+           "track_sequence", "pack_state_with", "unpack_state",
+           "TYPE_UNKNOWN", "TYPE_BUOY", "TYPE_BOAT"]
 
 TYPE_UNKNOWN = 0
 TYPE_BUOY = 1
@@ -268,6 +269,54 @@ def track_sequence(
                             max_dist, stationary)
 
     return jax.lax.scan(step, state0, (centroids, cluster_valid, frame_ids))
+
+
+@jax.jit
+def pack_state_with(state: TrackerState, extra: jnp.ndarray) -> jnp.ndarray:
+    """Bitcast-pack every state leaf plus ``extra`` int32 scalars into one
+    int32 vector.  A d2h transfer through the device tunnel costs ~30 ms
+    flat regardless of size, so pulling the ten state leaves individually
+    costs ~10x what one packed pull does; the host inverse is
+    :func:`unpack_state`."""
+    def enc(a):
+        a = a.reshape(-1)
+        if a.dtype == jnp.float32:
+            return jax.lax.bitcast_convert_type(a, jnp.int32)
+        return a.astype(jnp.int32)
+
+    return jnp.concatenate([enc(extra)] + [enc(leaf) for leaf in state])
+
+
+def unpack_state(buf: np.ndarray, max_objects: int, history: int,
+                 n_extra: int) -> Tuple[np.ndarray, TrackerState]:
+    """Host inverse of :func:`pack_state_with` (numpy leaves)."""
+    buf = np.asarray(buf, dtype=np.int32)
+    o, h = max_objects, history
+    extra = buf[:n_extra]
+    off = [n_extra]
+
+    def take(n, shape, dtype):
+        part = buf[off[0]:off[0] + n]
+        off[0] += n
+        if dtype == np.float32:
+            return part.view(np.float32).reshape(shape)
+        if dtype is bool:
+            return part.astype(bool).reshape(shape)
+        return part.reshape(shape)
+
+    state = TrackerState(
+        active=take(o, (o,), bool),
+        object_id=take(o, (o,), np.int32),
+        last_pos=take(o * 2, (o, 2), np.float32),
+        last_seen=take(o, (o,), np.int32),
+        first_frame=take(o, (o,), np.int32),
+        frames_seen=take(o, (o,), np.int32),
+        vel_ring=take(o * h * 2, (o, h, 2), np.float32),
+        vel_count=take(o, (o,), np.int32),
+        type_code=take(o, (o,), np.int32),
+        next_id=take(1, (), np.int32),
+    )
+    return extra, state
 
 
 def track_sequence_host(
