@@ -40,11 +40,18 @@ def solve_lsa(cost: jnp.ndarray,
         num_rows = jnp.int32(n)
 
     # p[j]: row matched to column j (virtual column n used as the augment
-    # anchor); u/v: dual potentials.
+    # anchor); u/v: dual potentials.  The row duals are stored keyed BY THE
+    # COLUMN currently holding the row (u[j] = dual of row p[j]): the
+    # per-iteration tree update then is a pure elementwise select instead of
+    # a scatter through p, and the dual follows its row during the
+    # alternating-path flip.  Identical adds in identical order, so results
+    # (and scipy tie-breaks) are bit-exact vs the row-keyed form.
     def solve_row(i, state):
         u, v, p = state
-        # start an augmenting search from row i anchored at virtual col n
+        # start an augmenting search from row i anchored at virtual col n;
+        # row i has never been matched, so its dual is 0
         p = p.at[n].set(i)
+        u = u.at[n].set(0.0)
         minv = jnp.full((n + 1,), _INF, jnp.float32)
         used = jnp.zeros((n + 1,), bool).at[n].set(True)
         way = jnp.zeros((n + 1,), jnp.int32)
@@ -56,7 +63,7 @@ def solve_lsa(cost: jnp.ndarray,
         def augment_body(s):
             minv_, used_, way_, (u_, v_), j0, _ = s
             i0 = p[j0]
-            cur = cost[i0, :] - u_[i0] - v_[:n]
+            cur = cost[i0, :] - u_[j0] - v_[:n]
             cur = jnp.where(used_[:n], _INF, cur)
             better = cur < minv_[:n]
             minv_ = minv_.at[:n].set(jnp.where(better, cur, minv_[:n]))
@@ -65,7 +72,7 @@ def solve_lsa(cost: jnp.ndarray,
             j1 = jnp.argmin(scan_min).astype(jnp.int32)
             delta = scan_min[j1]
             # update potentials along the tree, shrink others
-            u_ = u_.at[p].add(jnp.where(used_, delta, 0.0))
+            u_ = u_ + jnp.where(used_, delta, 0.0)
             v_ = jnp.where(used_, v_ - delta, v_)
             minv_ = jnp.where(used_, minv_, minv_ - delta)
             used_ = used_.at[j1].set(True)
@@ -76,18 +83,20 @@ def solve_lsa(cost: jnp.ndarray,
             augment_cond, augment_body,
             (minv, used, way, (u, v), jnp.int32(n), jnp.bool_(False)))
 
-        # walk the alternating path back, flipping matches
+        # walk the alternating path back, flipping matches (each column
+        # inherits the row — and the row's dual — from its tree parent)
         def flip_cond(s):
-            j0_, _ = s
+            j0_, _, _ = s
             return j0_ != n
 
         def flip_body(s):
-            j0_, p_ = s
+            j0_, p_, u_ = s
             j1 = way[j0_]
             p_ = p_.at[j0_].set(p_[j1])
-            return j1, p_
+            u_ = u_.at[j0_].set(u_[j1])
+            return j1, p_, u_
 
-        _, p = jax.lax.while_loop(flip_cond, flip_body, (j0, p))
+        _, p, u = jax.lax.while_loop(flip_cond, flip_body, (j0, p, u))
         return u, v, p
 
     u0 = jnp.zeros((n + 1,), jnp.float32)

@@ -344,7 +344,13 @@ def cluster_index(
         # decrease marks its tile changed, forcing a rescan), so at
         # convergence it is also exactly the "always" border key — and the
         # tail rounds plus the final confirming round shrink from full
-        # candidate-table sweeps to a near-empty frontier.
+        # candidate-table sweeps to a near-empty frontier.  Round 1 always
+        # scans everything, so it runs hoisted as a plain full sweep with
+        # none of the gating's candidate-compaction overhead.
+        label1, acc1, _ = _cc_step(index, label0, core, inv, eps_space,
+                                   eps_time, use_pallas=False)
+        changed1 = jnp.any(label1 != label0, axis=1)
+
         def cond(state):
             return state[3] & (state[4] < max_sweeps)
 
@@ -357,9 +363,7 @@ def cluster_index(
 
         label, last_nbr_min, _, _, _ = jax.lax.while_loop(
             cond, body,
-            (label0, jnp.full_like(label0, INT_MAX),
-             jnp.ones((index.num_tiles,), bool), jnp.bool_(True),
-             jnp.int32(0)))
+            (label1, acc1, changed1, jnp.any(changed1), jnp.int32(1)))
 
     comp_key = jnp.where(core, label, INT_MAX)
     rank_lookup, num_clusters = _finalize_keys(index, comp_key, core)

@@ -144,8 +144,10 @@ def tracker_step(
 
     # clusters are compacted valid-first, so restricting the augmenting loop
     # to num_clusters rows solves the rectangular problem like scipy at cost
-    # proportional to the actual detection count
-    row_of_col = solve_lsa(cost_sq, num_clusters.astype(jnp.int32))
+    # proportional to the actual detection count; when no association can
+    # happen (no clusters or no live objects) the solver runs zero rows
+    row_of_col = solve_lsa(
+        cost_sq, jnp.where(do_assoc, num_clusters, 0).astype(jnp.int32))
 
     obj_cluster = row_of_col[:o]
     pair_cost = cost_sq[jnp.clip(obj_cluster, 0, s - 1), jnp.arange(o)]
