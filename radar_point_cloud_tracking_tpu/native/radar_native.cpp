@@ -182,6 +182,30 @@ int count_csv_rows(const char *path, int skip_rows) {
 // can stay on the accelerator while only surviving points cross the wire.
 // Returns the number of points, or -1 on I/O error.  *rows_out receives the
 // row count; gain_out the first row's Gain.
+// Reused whole-file read buffer: this host's page faults are pathologically
+// slow, so read(2) into an already-touched buffer beats mmap's ~3k minor
+// faults per file.  Single-threaded by design (the host has one core).
+static char *g_read_buf = nullptr;
+static size_t g_read_cap = 0;
+
+static const char *read_whole_file(int fd, size_t size) {
+    if (size > g_read_cap) {
+        size_t cap = g_read_cap ? g_read_cap : (1u << 20);
+        while (cap < size) cap *= 2;
+        char *nb = (char *)realloc(g_read_buf, cap);
+        if (!nb) return nullptr;
+        g_read_buf = nb;
+        g_read_cap = cap;
+    }
+    size_t off = 0;
+    while (off < size) {
+        ssize_t got = read(fd, g_read_buf + off, size - off);
+        if (got <= 0) return nullptr;
+        off += (size_t)got;
+    }
+    return g_read_buf;
+}
+
 int parse_radar_points(const char *path, int num_echo, float threshold,
                        int stride, uint16_t *pt_row, uint16_t *pt_bin,
                        float *pt_val, float *row_angle, float *row_scale,
@@ -200,12 +224,9 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     *rows_out = 0;
     return 0;
   }
-  const char *data =
-      (const char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+  const char *data = read_whole_file(fd, size);
   close(fd);
-  if (data == MAP_FAILED) return -1;
-  // sequential one-pass scan: batch page faults / enable readahead
-  madvise((void *)data, size, MADV_SEQUENTIAL | MADV_WILLNEED);
+  if (data == nullptr) return -1;
 
   const char *p = data;
   const char *end = data + size;
@@ -288,7 +309,6 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     p = nl ? nl + 1 : end;
   }
 
-  munmap((void *)data, size);
   *rows_out = row;
   if (u8_ok_out) *u8_ok_out = u8_ok;
   return (int)npts;

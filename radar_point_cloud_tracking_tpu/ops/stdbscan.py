@@ -175,8 +175,12 @@ def _cc_step_gated(
         return j, jnp.any(j != lbl), it + 1
 
     def jump_cond(state):
+        # capped at 2 passes per round: each pass halves chain depth, and
+        # leftover chains finish in later rounds (a no-change round is still
+        # a sound global fixpoint test — one identity pass implies jump
+        # fixpoint); uncapped detection passes cost a full dense pass each
         _, changed, it = state
-        return changed & (it < 16)
+        return changed & (it < 2)
 
     new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
                                    (new, jnp.bool_(True), jnp.int32(0)))
