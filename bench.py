@@ -261,14 +261,21 @@ def main():
 
     tpu_fps = num_frames / tpu_time
     cpu_fps = cpu_frames / cpu_time  # linear extrapolation (see module doc)
-    print(json.dumps({
+    out = {
         "metric": "radar frames/sec end-to-end (fuse+cluster+track), "
                   f"{num_frames}-frame multi-gain {NUM_ROWS}x{NUM_BINS} "
                   f"sequence; exact_match={match and tracks_match}",
         "value": round(tpu_fps, 3),
         "unit": "frames/s",
+        # denominator: the oracle composition (median of repeats) — the
+        # literal reference script measured ~10x slower on the same data,
+        # so this ratio is the conservative lower bound
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
-    }))
+    }
+    if ref_time is not None:
+        out["vs_literal_reference"] = round(
+            tpu_fps / (cpu_frames / ref_time), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
