@@ -182,9 +182,10 @@ int count_csv_rows(const char *path, int skip_rows) {
 // can stay on the accelerator while only surviving points cross the wire.
 // Returns the number of points, or -1 on I/O error.  *rows_out receives the
 // row count; gain_out the first row's Gain.
-// Reused whole-file read buffer: this host's page faults are pathologically
-// slow, so read(2) into an already-touched buffer beats mmap's ~3k minor
-// faults per file.  Single-threaded by design (the host has one core).
+// Whole-file input: RADAR_NATIVE_READBUF=1 selects read(2) into a reused
+// buffer (pays a full memcpy per file but no faults); the default is mmap
+// with MADV_SEQUENTIAL (zero-copy, ~3k minor faults per file).  A/B'd on
+// the bench host: mmap wins when the page cache is warm.
 static char *g_read_buf = nullptr;
 static size_t g_read_cap = 0;
 
@@ -206,6 +207,30 @@ static const char *read_whole_file(int fd, size_t size) {
     return g_read_buf;
 }
 
+static int use_read_buf() {
+    static int cached = -1;
+    if (cached < 0) {
+        const char *env = getenv("RADAR_NATIVE_READBUF");
+        cached = (env && env[0] == '1') ? 1 : 0;
+    }
+    return cached;
+}
+
+// Returns file content either as the reused read buffer or a fresh mmap;
+// *mapped_out tells the caller whether munmap is needed.
+static const char *load_file(int fd, size_t size, int *mapped_out) {
+    if (use_read_buf()) {
+        *mapped_out = 0;
+        return read_whole_file(fd, size);
+    }
+    const char *data =
+        (const char *)mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (data == MAP_FAILED) return nullptr;
+    madvise((void *)data, size, MADV_SEQUENTIAL | MADV_WILLNEED);
+    *mapped_out = 1;
+    return data;
+}
+
 int parse_radar_points(const char *path, int num_echo, float threshold,
                        int stride, uint16_t *pt_row, uint16_t *pt_bin,
                        float *pt_val, float *row_angle, float *row_scale,
@@ -224,7 +249,8 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     *rows_out = 0;
     return 0;
   }
-  const char *data = read_whole_file(fd, size);
+  int mapped = 0;
+  const char *data = load_file(fd, size, &mapped);
   close(fd);
   if (data == nullptr) return -1;
 
@@ -309,6 +335,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     p = nl ? nl + 1 : end;
   }
 
+  if (mapped) munmap((void *)data, size);
   *rows_out = row;
   if (u8_ok_out) *u8_ok_out = u8_ok;
   return (int)npts;
