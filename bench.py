@@ -257,7 +257,26 @@ def main():
 
     # steady-state timing on the full sequence: warm then measure
     run_tpu(data_dir, num_frames, "warmup")
-    tpu_time, _ = run_tpu(data_dir, num_frames, "measured")
+    tpu_time, full_result = run_tpu(data_dir, num_frames, "measured")
+
+    # full-sequence exactness, against an offline oracle run if one was
+    # recorded for this dataset (tools/record_oracle_full.py); the labels
+    # pull happens after the timer stops
+    full_match = None
+    oracle_full = data_dir / f"oracle_f{num_frames}.json"
+    if oracle_full.exists():
+        import hashlib
+        rec = json.loads(oracle_full.read_text())
+        got_hash = hashlib.sha256(
+            np.ascontiguousarray(full_result.labels.astype(np.int32))
+        ).hexdigest()
+        got_objects = [(r["object_id"], r["object_type"])
+                       for r in full_result.objects_rows()]
+        want_objects = [tuple(o) for o in rec["objects"]]
+        full_match = bool(got_hash == rec["labels_sha256"]
+                          and got_objects == want_objects)
+        log(f"exact-match on FULL {num_frames}-frame sequence: {full_match} "
+            f"({rec['num_clusters']} oracle clusters)")
 
     tpu_fps = num_frames / tpu_time
     cpu_fps = cpu_frames / cpu_time  # linear extrapolation (see module doc)
@@ -275,6 +294,8 @@ def main():
     if ref_time is not None:
         out["vs_literal_reference"] = round(
             tpu_fps / (cpu_frames / ref_time), 2)
+    if full_match is not None:
+        out["exact_match_full_sequence"] = full_match
     print(json.dumps(out))
 
 

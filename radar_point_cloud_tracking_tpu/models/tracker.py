@@ -14,7 +14,7 @@ import functools
 import time as _time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,8 @@ from ..config import PipelineConfig
 from ..ops import grid as grid_ops
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.geometry import PAD_COORD, compact_masked
-from ..ops.stdbscan import st_dbscan_device
+from ..ops.neighbors import build_spatial_index
+from ..ops.stdbscan import cluster_index, st_dbscan_device
 from ..ops.tracking import (
     TYPE_BOAT,
     TYPE_BUOY,
@@ -262,6 +263,11 @@ class TrackingPipeline:
                  verbose: bool = True) -> None:
         self.config = config or PipelineConfig()
         self.verbose = verbose
+        # candidate-width (k_pad) per (capacity, tile): lets repeat runs
+        # build the spatial index without the candidate-width host sync;
+        # an in-program overflow counter rides the existing packed pull and
+        # triggers an exact rebuild if the hint was too small
+        self._kpad_cache: Dict[Tuple[int, int], int] = {}
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -547,17 +553,43 @@ class TrackingPipeline:
             pvalid = jnp.arange(capacity) < n_points  # device scalar compare
             use_pallas = (cfg.device.use_pallas
                           and jax.default_backend() == "tpu")
-            labels, num_clusters = st_dbscan_device(
-                points[:, :2], points[:, 4], pvalid,
-                eps_space, eps_time, min_samples,
-                min_frames=1, border_mode="always",
-                tile=cfg.clustering.tile_size,
-                max_sweeps=cfg.clustering.max_label_sweeps,
-                use_pallas=use_pallas)
-            # one packed pull (each d2h costs ~30 ms flat)
-            pair = np.asarray(jnp.stack([jnp.asarray(num_clusters, jnp.int32),
-                                         jnp.asarray(n_points, jnp.int32)]))
-            num_clusters, n_points = int(pair[0]), int(pair[1])
+            tile_sz = cfg.clustering.tile_size
+            ck = (int(capacity), tile_sz)
+            k_hint = self._kpad_cache.get(ck)
+            index = build_spatial_index(
+                points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
+                tile=tile_sz, cell_size=cfg.clustering.cell_size,
+                k_pad=k_hint)
+            while True:
+                labels, num_clusters = cluster_index(
+                    index, jnp.float32(eps_space), jnp.float32(eps_time),
+                    int(min_samples), 1, 0, "always",
+                    int(cfg.clustering.max_label_sweeps),
+                    use_pallas=use_pallas)
+                # one packed pull (each d2h costs ~30 ms flat); the true
+                # candidate-width maximum rides along to validate k_hint
+                trip = np.asarray(jnp.stack(
+                    [jnp.asarray(num_clusters, jnp.int32),
+                     jnp.asarray(n_points, jnp.int32),
+                     jnp.max(index.cand_count).astype(jnp.int32)]))
+                max_cand = int(trip[2])
+                if k_hint is not None and max_cand > index.cand_idx.shape[1]:
+                    self._log(f"  [capacity] candidate width {max_cand} "
+                              f"exceeds cached k_pad={k_hint}; rebuilding "
+                              "index exactly")
+                    k_hint = None
+                    index = build_spatial_index(
+                        points[:, :2], points[:, 4], pvalid, eps_space,
+                        eps_time, tile=tile_sz,
+                        cell_size=cfg.clustering.cell_size)
+                    continue
+                break
+            # pow2 bucket keeps K (a compiled shape) stable across runs
+            kp = 1
+            while kp < max(max_cand, 1):
+                kp *= 2
+            self._kpad_cache[ck] = kp
+            num_clusters, n_points = int(trip[0]), int(trip[1])
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 
         # ---- per-frame cluster stats ------------------------------------
@@ -567,49 +599,54 @@ class TrackingPipeline:
         with timer.stage("cluster_stats"):
             label_cap = 1 << max(6, (max(num_clusters, 1) - 1).bit_length())
             max_c = cfg.tracking.max_clusters_per_frame
+
+        # ---- tracking (stats + scan dispatched back-to-back) ------------
+        # capacities grow-and-retry on overflow: the reference tracker is
+        # unbounded, so a saturated fixed table must never silently drop
+        # clusters/objects (it would quietly break exactness).  Both
+        # overflow counters and the full final state ride ONE packed d2h
+        # (each transfer costs ~30 ms flat; the ten state leaves pulled
+        # separately cost ~0.3 s).  The bulky per-frame records/cluster
+        # tables stay on device and pull lazily — only artifact writers
+        # and plots need them.
+        with timer.stage("tracking"):
+            max_obj = cfg.tracking.max_objects
             while True:
                 cs = per_frame_cluster_stats(
                     points[:, :2], points[:, 2],
                     points[:, 3].astype(jnp.int32), labels, pvalid,
                     num_frames=f, label_cap=label_cap, max_clusters=max_c)
-                needed = int(jnp.max(cs.present_count))
-                if needed <= max_c:
-                    break
-                self._log(f"  [capacity] {needed} clusters in one frame "
-                          f"exceeds max_clusters_per_frame={max_c}; "
-                          "growing and recomputing")
-                max_c = 1 << (needed - 1).bit_length()
-            centroids, cvalid, clabel, cnum, cmi = (
-                cs.centroids, cs.valid, cs.label, cs.num_points,
-                cs.mean_intensity)
-
-        # ---- tracking ---------------------------------------------------
-        with timer.stage("tracking"):
-            max_obj = cfg.tracking.max_objects
-            while True:
                 state, records = track_sequence(
-                    centroids, cvalid, jnp.asarray(ingested.frame_ids),
+                    cs.centroids, cs.valid, jnp.asarray(ingested.frame_ids),
                     max_objects=max_obj,
                     history=cfg.tracking.motion_history_frames,
                     max_missed=cfg.tracking.max_missed_frames,
                     max_dist=cfg.tracking.max_association_distance,
                     stationary=cfg.tracking.stationary_velocity_threshold)
-                # one packed transfer carries the dropped-creation count AND
-                # the full final state (each d2h costs ~30 ms flat; the ten
-                # state leaves pulled separately cost ~0.3 s).  The bulky
-                # per-frame records/cluster tables stay on device and pull
-                # lazily — only artifact writers and plots need them.
                 packed = np.asarray(pack_state_with(
-                    state, jnp.sum(records["dropped"]).reshape(1)))
-                dropped, state = unpack_state(
-                    packed, max_obj, cfg.tracking.motion_history_frames, 1)
-                n_dropped = int(dropped[0])
-                if n_dropped == 0:
-                    break
-                self._log(f"  [capacity] object table full: {n_dropped} "
-                          f"creation(s) dropped at max_objects={max_obj}; "
-                          "growing and re-tracking")
-                max_obj *= 2
+                    state,
+                    jnp.stack([jnp.sum(records["dropped"]),
+                               jnp.max(cs.present_count)]).astype(jnp.int32)))
+                extra, state_np = unpack_state(
+                    packed, max_obj, cfg.tracking.motion_history_frames, 2)
+                n_dropped, needed = int(extra[0]), int(extra[1])
+                if needed > max_c:
+                    self._log(f"  [capacity] {needed} clusters in one frame "
+                              f"exceeds max_clusters_per_frame={max_c}; "
+                              "growing and recomputing")
+                    max_c = 1 << (needed - 1).bit_length()
+                    continue
+                if n_dropped > 0:
+                    self._log(f"  [capacity] object table full: {n_dropped} "
+                              f"creation(s) dropped at max_objects={max_obj}; "
+                              "growing and re-tracking")
+                    max_obj *= 2
+                    continue
+                state = state_np
+                break
+            centroids, cvalid, clabel, cnum, cmi = (
+                cs.centroids, cs.valid, cs.label, cs.num_points,
+                cs.mean_intensity)
 
         return TrackingResult(
             ingested=ingested,
