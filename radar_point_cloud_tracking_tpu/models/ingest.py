@@ -559,6 +559,12 @@ class FrameBatchLoader:
                             float(bounds[3]) + grid_resolution_m,
                             grid_resolution_m)
         nx, ny = len(x_edges) - 1, len(y_edges) - 1
+        if nx <= 0 or ny <= 0:
+            # all points share one x (or y) value: the grid degenerates to
+            # zero cells (np.bincount would raise on the same input)
+            raise ValueError(
+                "land grid degenerate: all points share a single "
+                f"{'x' if nx <= 0 else 'y'} coordinate")
         count = np.zeros(nx * ny, np.int64)
         isum = np.zeros(nx * ny, np.float64)
         for (_, _, sweeps), row in zip(frames, tables):

@@ -25,7 +25,7 @@ from ..ops import grid as grid_ops
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.geometry import PAD_COORD, compact_masked
 from ..ops.neighbors import build_spatial_index
-from ..ops.stdbscan import cluster_index, st_dbscan_device
+from ..ops.stdbscan import cluster_index
 from ..ops.tracking import (
     TYPE_BOAT,
     TYPE_BUOY,
@@ -42,6 +42,13 @@ from .ingest import FrameBatchLoader, IngestedFrames
 __all__ = ["TrackingResult", "run_tracking_pipeline", "TrackingPipeline"]
 
 _TYPE_NAME = {TYPE_UNKNOWN: "unknown", TYPE_BUOY: "buoy", TYPE_BOAT: "boat"}
+
+# candidate-width (k_pad) per (capacity, tile), process-wide: repeat runs
+# (even across pipeline instances, e.g. bench warmup -> measured) build
+# the spatial index without the candidate-width host sync; the true
+# maximum rides the packed pull and triggers an exact rebuild when a
+# cached hint is too small
+_KPAD_CACHE: Dict[Tuple[int, int], int] = {}
 
 
 @dataclass
@@ -263,11 +270,6 @@ class TrackingPipeline:
                  verbose: bool = True) -> None:
         self.config = config or PipelineConfig()
         self.verbose = verbose
-        # candidate-width (k_pad) per (capacity, tile): lets repeat runs
-        # build the spatial index without the candidate-width host sync;
-        # an in-program overflow counter rides the existing packed pull and
-        # triggers an exact rebuild if the hint was too small
-        self._kpad_cache: Dict[Tuple[int, int], int] = {}
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -555,7 +557,7 @@ class TrackingPipeline:
                           and jax.default_backend() == "tpu")
             tile_sz = cfg.clustering.tile_size
             ck = (int(capacity), tile_sz)
-            k_hint = self._kpad_cache.get(ck)
+            k_hint = _KPAD_CACHE.get(ck)
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
@@ -588,19 +590,12 @@ class TrackingPipeline:
             kp = 1
             while kp < max(max_cand, 1):
                 kp *= 2
-            self._kpad_cache[ck] = kp
+            _KPAD_CACHE[ck] = kp
             num_clusters, n_points = int(trip[0]), int(trip[1])
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 
-        # ---- per-frame cluster stats ------------------------------------
-        # capacities grow-and-retry on overflow: the reference tracker is
-        # unbounded, so a saturated fixed table must never silently drop
-        # clusters/objects (it would quietly break exactness)
-        with timer.stage("cluster_stats"):
-            label_cap = 1 << max(6, (max(num_clusters, 1) - 1).bit_length())
-            max_c = cfg.tracking.max_clusters_per_frame
-
-        # ---- tracking (stats + scan dispatched back-to-back) ------------
+        # ---- per-frame cluster stats + tracking (one stage: the stats
+        # program and the tracking scan dispatch back-to-back) ------------
         # capacities grow-and-retry on overflow: the reference tracker is
         # unbounded, so a saturated fixed table must never silently drop
         # clusters/objects (it would quietly break exactness).  Both
@@ -610,6 +605,8 @@ class TrackingPipeline:
         # tables stay on device and pull lazily — only artifact writers
         # and plots need them.
         with timer.stage("tracking"):
+            label_cap = 1 << max(6, (max(num_clusters, 1) - 1).bit_length())
+            max_c = cfg.tracking.max_clusters_per_frame
             max_obj = cfg.tracking.max_objects
             while True:
                 cs = per_frame_cluster_stats(

@@ -185,9 +185,11 @@ int count_csv_rows(const char *path, int skip_rows) {
 // Whole-file input: RADAR_NATIVE_READBUF=1 selects read(2) into a reused
 // buffer (pays a full memcpy per file but no faults); the default is mmap
 // with MADV_SEQUENTIAL (zero-copy, ~3k minor faults per file).  A/B'd on
-// the bench host: mmap wins when the page cache is warm.
-static char *g_read_buf = nullptr;
-static size_t g_read_cap = 0;
+// the bench host: mmap wins when the page cache is warm.  The buffer is
+// thread_local: parse_radar_points runs concurrently from a thread pool
+// (ctypes releases the GIL), so a shared buffer would race.
+static thread_local char *g_read_buf = nullptr;
+static thread_local size_t g_read_cap = 0;
 
 static const char *read_whole_file(int fd, size_t size) {
     if (size > g_read_cap) {
@@ -539,6 +541,7 @@ void land_grid_accumulate(const uint16_t *rows, const uint16_t *bins,
                           int n_x_edges, const double *y_edges, int n_y_edges,
                           long long *count, double *vsum) {
     int nx = n_x_edges - 1, ny = n_y_edges - 1;
+    if (nx <= 0 || ny <= 0) return;  // degenerate axis: caller raises
     double ixs = edge_inv_step(x_edges, n_x_edges);
     double iys = edge_inv_step(y_edges, n_y_edges);
     for (long long i = 0; i < n; i++) {
@@ -563,6 +566,7 @@ long long land_filter_sweep(uint16_t *rows, uint16_t *bins, float *vals,
                             const double *y_edges, int n_y_edges,
                             const uint8_t *land) {
     int nx = n_x_edges - 1, ny = n_y_edges - 1;
+    if (nx <= 0 || ny <= 0) return n;  // degenerate axis: keep all points
     double ixs = edge_inv_step(x_edges, n_x_edges);
     double iys = edge_inv_step(y_edges, n_y_edges);
     long long w = 0;
