@@ -55,6 +55,9 @@ class IngestedFrames:
     count: jnp.ndarray
     frame_ids: np.ndarray
     timestamps_ms: np.ndarray
+    # host copy of ``count`` when the ingest path computed it on host (the
+    # sparse parse does): lets callers size buffers without a device sync
+    count_host: "np.ndarray | None" = None
 
     @property
     def num_frames(self) -> int:
@@ -337,7 +340,7 @@ class FrameBatchLoader:
             xyi = jnp.pad(xyi, ((0, 0), (0, cap - c), (0, 0)),
                           constant_values=PAD_COORD)
             gain_dev = jnp.pad(gain_dev, ((0, 0), (0, cap - c)))
-        return xyi, gain_dev, jnp.asarray(counts)
+        return xyi, gain_dev, jnp.asarray(counts), counts
 
     # -- chunked sequence -------------------------------------------------
     def _convert_chunk(self, chunk_tables, rows):
@@ -419,6 +422,7 @@ class FrameBatchLoader:
         dispatches; a chunk flushes early when the sweep shape (gain count or
         row bucket) changes, so programs stay uniform and cached."""
         xyi_parts, gain_parts, count_parts = [], [], []
+        count_host_parts = []
         frame_ids, ts_list = [], []
         pending: list = []  # (frame_idx, ts, parsed)
         pending_shape = None
@@ -430,12 +434,15 @@ class FrameBatchLoader:
             rows = pending_shape[1]
             parsed = [t for _, _, t in pending]
             if self.sparse:
-                xyi, gain, totals = self._convert_chunk_sparse(parsed, rows)
+                xyi, gain, totals, totals_np = \
+                    self._convert_chunk_sparse(parsed, rows)
             else:
                 xyi, gain, totals = self._convert_chunk(parsed, rows)
+                totals_np = None
             xyi_parts.append(xyi)
             gain_parts.append(gain)
             count_parts.append(totals)
+            count_host_parts.append(totals_np)
             for idx, ts, _ in pending:
                 frame_ids.append(idx)
                 ts_list.append(ts)
@@ -465,6 +472,9 @@ class FrameBatchLoader:
             count=jnp.concatenate(count_parts),
             frame_ids=np.asarray(frame_ids, np.int32),
             timestamps_ms=np.asarray(ts_list, np.int64),
+            count_host=(np.concatenate(count_host_parts)
+                        if all(p is not None for p in count_host_parts)
+                        else None),
         )
 
     def load_sequence(
