@@ -17,6 +17,9 @@ Protocol:
   scales at least linearly in frames, so this favors the CPU baseline;
 - the CPU prefix is run BENCH_CPU_REPEATS times (default 3) and the MEDIAN
   total is the denominator (the shared host swings run-to-run);
+- the TPU full sequence is likewise measured BENCH_TPU_REPEATS times
+  (default 3) after one warmup, and the MEDIAN is the numerator — the
+  recorded ratio is a median-vs-median protocol on both sides;
 - the denominator composition is validated against the LITERAL reference
   tracker script (/root/reference/PointCloudWork/4_temporal_object_tracker.py,
   same defaults: threshold 10, stride 4, eps 8/2/15) run once per dataset as
@@ -54,13 +57,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# committed (in-repo) bench records, keyed by dataset signature: the
+# full-sequence oracle labels/track record and the literal-reference wall
+# time survive a fresh clone, so the exactness assert never silently skips
+RECORDS_DIR = Path(__file__).resolve().parent / "bench_records"
+
+
+def _dataset_sig(num_frames: int) -> str:
+    sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v4"
+    if NOISE_RATE != 0.008:  # keep the default dataset cache key stable
+        sig += f"_n{NOISE_RATE:g}"
+    return sig
+
+
+def _record_path(sig: str, name: str, data_dir: Path) -> Path | None:
+    """A committed bench_records/<sig>/<name> wins; fall back to the record
+    cached beside the (gitignored) dataset."""
+    committed = RECORDS_DIR / sig / name
+    if committed.exists():
+        return committed
+    local = data_dir / name
+    return local if local.exists() else None
+
+
 def _dataset(num_frames: int) -> Path:
     from radar_point_cloud_tracking_tpu.experiments.synthetic import (
         SceneConfig, generate_scene_dataset)
 
-    sig = f"f{num_frames}_r{NUM_ROWS}_b{NUM_BINS}_v4"
-    if NOISE_RATE != 0.008:  # keep the default dataset cache key stable
-        sig += f"_n{NOISE_RATE:g}"
+    sig = _dataset_sig(num_frames)
     data_dir = Path(__file__).resolve().parent / ".bench_data" / sig
     if (data_dir / "gain_75").is_dir():
         log(f"dataset cache hit: {data_dir}")
@@ -153,31 +177,36 @@ def validate_reference_denominator(data_dir: Path, max_frames: int):
 
     ref_script = Path("/root/reference/PointCloudWork/"
                       "4_temporal_object_tracker.py")
-    cache = data_dir / f"refcheck_f{max_frames}.json"
-    if cache.exists():
+    name = f"refcheck_f{max_frames}.json"
+    cache = _record_path(data_dir.name, name, data_dir)
+    if cache is not None:
         rec = json.loads(cache.read_text())
-        log(f"literal reference (cached): {rec['elapsed_s']:.1f}s for "
-            f"{rec['frames']} frames")
+        log(f"literal reference (cached, {cache.parent.name}): "
+            f"{rec['elapsed_s']:.1f}s for {rec['frames']} frames")
         return rec["elapsed_s"]
     if not ref_script.exists() or os.environ.get("BENCH_SKIP_REFCHECK"):
         log("literal reference check skipped (script missing or disabled)")
         return None
     log(f"timing the literal reference script on {max_frames} frames "
         "(once per dataset)...")
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, str(ref_script), "--data-dir", str(data_dir),
-             "--output-dir", tmp, "--max-frames", str(max_frames),
-             "--no-viz"],
-            capture_output=True, text=True, timeout=3600)
-        elapsed = time.perf_counter() - t0
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            t0 = time.perf_counter()
+            proc = subprocess.run(
+                [sys.executable, str(ref_script), "--data-dir", str(data_dir),
+                 "--output-dir", tmp, "--max-frames", str(max_frames),
+                 "--no-viz"],
+                capture_output=True, text=True, timeout=3600)
+            elapsed = time.perf_counter() - t0
+    except subprocess.TimeoutExpired:
+        log("literal reference run timed out after 3600s; check skipped")
+        return None
     if proc.returncode != 0:
         log(f"literal reference run FAILED (rc={proc.returncode}): "
             f"{proc.stderr[-500:]}")
         return None
-    cache.write_text(json.dumps({"elapsed_s": elapsed,
-                                 "frames": max_frames}))
+    (data_dir / name).write_text(json.dumps({"elapsed_s": elapsed,
+                                             "frames": max_frames}))
     log(f"literal reference: {elapsed:.1f}s for {max_frames} frames")
     return elapsed
 
@@ -213,11 +242,142 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
     return total, result
 
 
+def _envelope_ply(path: Path, n_points: int = 10_000_000,
+                  seed: int = 11) -> Path:
+    """Deterministic 10M-point clustering scene at the reference's documented
+    scale ceiling (radar-pipeline/config/default.yaml:20-31): 4000 Gaussian
+    blobs + uniform clutter over a 20x20 km area, colored with the 3 gain
+    tints so color->time inference exercises the real cluster path."""
+    from radar_point_cloud_tracking_tpu.core.containers import PointCloud
+    from radar_point_cloud_tracking_tpu.core.writers import write_ply
+
+    if path.exists():
+        log(f"envelope PLY cache hit: {path}")
+        return path
+    rng = np.random.default_rng(seed)
+    n_blobs = 4000
+    per_blob = (n_points // 2) // n_blobs
+    centers = rng.uniform(-10_000, 10_000, (n_blobs, 2)).astype(np.float32)
+    blob_xy = (np.repeat(centers, per_blob, axis=0)
+               + rng.normal(0.0, 1.5, (n_blobs * per_blob, 2))
+               ).astype(np.float32)
+    n_clutter = n_points - len(blob_xy)
+    clutter = rng.uniform(-10_000, 10_000, (n_clutter, 2)).astype(np.float32)
+    xy = np.concatenate([blob_xy, clutter])
+    z = rng.uniform(0.0, 50.0, (len(xy),)).astype(np.float32)
+    perm = rng.permutation(len(xy))
+    xy, z = xy[perm], z[perm]
+    from radar_point_cloud_tracking_tpu.config import GainConfig
+
+    gcfg = GainConfig()
+    gain_tints = np.array([gcfg.colors[g] for g in sorted(gcfg.colors)],
+                          np.uint8)
+    colors = gain_tints[rng.integers(0, 3, len(xy))]
+    path.parent.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    write_ply(path, PointCloud(x=xy[:, 0], y=xy[:, 1], z=z, colors=colors),
+              binary=True)
+    log(f"envelope PLY ({len(xy):,} pts) written in "
+        f"{time.perf_counter() - t0:.1f}s")
+    return path
+
+
+def run_envelope():
+    """BENCH_ENVELOPE=1 mode: the 10M-point clustering envelope as a
+    repeatable artifact — steady-state wall time, an exactness spot-check
+    (device vs CPU oracle on a deterministic subsample), and a committed
+    labels-hash regression record."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from radar_point_cloud_tracking_tpu.config import ClusteringConfig
+    from radar_point_cloud_tracking_tpu.core.loaders import load_ply
+    from radar_point_cloud_tracking_tpu.models.cluster_ply import (
+        cluster_point_cloud)
+    from radar_point_cloud_tracking_tpu.ops.colors import (
+        infer_time_from_colors)
+    from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
+        oracle_st_dbscan)
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones(8))
+    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+
+    base = Path(__file__).resolve().parent / ".bench_data" / "ply10m"
+    ply = _envelope_ply(base / "envelope_10m_v2.ply")
+    t0 = time.perf_counter()
+    cloud = load_ply(ply)
+    log(f"loaded {cloud.size:,} points in {time.perf_counter() - t0:.1f}s")
+
+    cfg = ClusteringConfig(eps_space=5.0, eps_time=1.0, min_samples=10,
+                           max_points=10_000_000)
+    times_ms = []
+    labels = None
+    for rep in range(2):  # rep 0 compiles; rep 1 is steady state
+        t0 = time.perf_counter()
+        labels = cluster_point_cloud(cloud, cfg)
+        times_ms.append(time.perf_counter() - t0)
+        log(f"envelope rep{rep}: {times_ms[-1]:.1f}s, "
+            f"{len(np.unique(labels[labels >= 0]))} clusters")
+    steady = times_ms[-1]
+    num_clusters = int(len(np.unique(labels[labels >= 0])))
+
+    # exactness spot-check: a deterministic 300k subsample clustered by both
+    # engines must match bit-for-bit (the full 10M oracle run is O(hours))
+    sub = np.random.default_rng(3).choice(cloud.size, 300_000, replace=False)
+    sub.sort()
+    coords = np.column_stack([cloud.x[sub], cloud.y[sub], cloud.z[sub]])
+    sub_times = infer_time_from_colors(cloud.colors[sub])
+    t0 = time.perf_counter()
+    want = oracle_st_dbscan(coords.astype(np.float32),
+                            sub_times.astype(np.float32),
+                            cfg.eps_space, cfg.eps_time, cfg.min_samples)
+    log(f"subsample oracle: {time.perf_counter() - t0:.1f}s")
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import st_dbscan
+    got = st_dbscan(coords, sub_times, cfg.eps_space, cfg.eps_time,
+                    cfg.min_samples, config=cfg)
+    sub_match = bool(np.array_equal(got, np.asarray(want)))
+    log(f"subsample exact-match (300k pts): {sub_match}")
+
+    # regression record: committed labels hash for the full 10M labeling
+    sha = hashlib.sha256(
+        np.ascontiguousarray(labels.astype(np.int32))).hexdigest()
+    rec_path = RECORDS_DIR / "envelope_10m_v2.json"
+    sha_match = None
+    if rec_path.exists():
+        rec = json.loads(rec_path.read_text())
+        sha_match = bool(rec["labels_sha256"] == sha
+                         and rec["num_clusters"] == num_clusters)
+        log(f"labels match committed record: {sha_match}")
+    else:
+        rec_path.parent.mkdir(parents=True, exist_ok=True)
+        rec_path.write_text(json.dumps(
+            {"labels_sha256": sha, "num_clusters": num_clusters,
+             "num_points": int(cloud.size)}))
+        log(f"wrote new envelope record {rec_path} (commit it)")
+
+    out = {
+        "metric": "10M-point ST-DBSCAN clustering envelope "
+                  "(reference scale ceiling), steady-state seconds",
+        "value": round(steady, 2),
+        "unit": "s",
+        "vs_baseline": None,
+        "num_clusters": num_clusters,
+        "subsample_exact_match": sub_match,
+        "compile_rep_s": round(times_ms[0], 2),
+    }
+    if sha_match is not None:
+        out["labels_match_committed_record"] = sha_match
+    print(json.dumps(out))
+
+
 def main():
     num_frames = int(os.environ.get("BENCH_FRAMES", "100"))
     cpu_frames = min(int(os.environ.get("BENCH_CPU_FRAMES", "40")), num_frames)
     cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
 
+    import jax
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
@@ -255,16 +415,29 @@ def main():
     log(f"exact-match on {cpu_frames}-frame prefix: labels={match} "
         f"tracks={tracks_match} (objects: {len(got)})")
 
-    # steady-state timing on the full sequence: warm then measure
+    # steady-state timing on the full sequence: warm once, then measure
+    # BENCH_TPU_REPEATS reps and take the median (same protocol as the CPU
+    # denominator — a single rep is hostage to host/tunnel noise)
+    tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "3")))
     run_tpu(data_dir, num_frames, "warmup")
-    tpu_time, full_result = run_tpu(data_dir, num_frames, "measured")
+    tpu_runs = [run_tpu(data_dir, num_frames, f"measured {r + 1}/"
+                        f"{tpu_repeats}")
+                for r in range(tpu_repeats)]
+    tpu_times = [t for t, _ in tpu_runs]
+    order = int(np.argsort(tpu_times, kind="stable")[len(tpu_times) // 2])
+    tpu_time = tpu_times[order]
+    full_result = tpu_runs[order][1]
+    log(f"TPU median of {tpu_repeats}: {tpu_time:.2f}s "
+        f"(runs: {[round(t, 2) for t in tpu_times]})")
 
-    # full-sequence exactness, against an offline oracle run if one was
-    # recorded for this dataset (tools/record_oracle_full.py); the labels
-    # pull happens after the timer stops
+    # full-sequence exactness against the committed oracle record
+    # (bench_records/<sig>/oracle_f<N>.json, written by
+    # tools/record_oracle_full.py); the labels pull happens after the
+    # timers stop
     full_match = None
-    oracle_full = data_dir / f"oracle_f{num_frames}.json"
-    if oracle_full.exists():
+    oracle_full = _record_path(data_dir.name, f"oracle_f{num_frames}.json",
+                               data_dir)
+    if oracle_full is not None:
         import hashlib
         rec = json.loads(oracle_full.read_text())
         got_hash = hashlib.sha256(
@@ -277,6 +450,9 @@ def main():
                           and got_objects == want_objects)
         log(f"exact-match on FULL {num_frames}-frame sequence: {full_match} "
             f"({rec['num_clusters']} oracle clusters)")
+    else:
+        log(f"no full-sequence oracle record for {data_dir.name}; run "
+            "tools/record_oracle_full.py to create one")
 
     tpu_fps = num_frames / tpu_time
     cpu_fps = cpu_frames / cpu_time  # linear extrapolation (see module doc)
@@ -296,8 +472,23 @@ def main():
             tpu_fps / (cpu_frames / ref_time), 2)
     if full_match is not None:
         out["exact_match_full_sequence"] = full_match
+    # environment record: the recorded ratio depends on this rig's shape
+    # (single host core serializes the CSV parse; the TPU sits behind a
+    # ~17 MB/s tunnel) — state it so the number is interpretable off-rig
+    timings = full_result.timings
+    out["env"] = {
+        "host_cores": os.cpu_count(),
+        "backend": jax.default_backend(),
+        "tpu_times_s": [round(t, 2) for t in tpu_times],
+        "cpu_times_s": [round(t, 1) for t in cpu_times],
+        "host_parse_share": round(
+            timings.get("ingest_parse", 0.0) / tpu_time, 2),
+    }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_ENVELOPE"):
+        run_envelope()
+    else:
+        main()

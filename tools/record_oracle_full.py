@@ -35,7 +35,9 @@ def main():
                                     key=lambda r: r["object_id"])],
         "oracle_seconds": round(total, 1),
     }
-    out = data_dir / f"oracle_f{num_frames}.json"
+    out_dir = bench.RECORDS_DIR / data_dir.name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / f"oracle_f{num_frames}.json"
     out.write_text(json.dumps(rec))
     print(f"wrote {out} ({rec['num_clusters']} clusters, "
           f"{len(rec['objects'])} objects, {total:.1f}s)")
