@@ -93,8 +93,13 @@ class LandFilterConfig(BaseModel):
     min_intensity: float = 100.0
     min_frames_required: int = 10  # skip filter below this many frames
     # decide land verdicts on the host straight from the sparse parse output
-    # (bit-identical results) so filtered points never cross the
-    # host->device wire; requires the native sparse ingest path
+    # (bit-identical to the reference composition: float64 np.arange edges,
+    # np.digitize semantics, float64 intensity sums) so filtered points
+    # never cross the host->device wire; requires the native sparse ingest
+    # path.  The device fallback digitizes bit-exactly against the same
+    # float64 edges (ops/grid.py edges_hilo) but accumulates intensity in
+    # float32 — a cell whose float64 average sits within f32-accumulation
+    # error of min_intensity may receive a different verdict there.
     host_prefilter: bool = True
 
 

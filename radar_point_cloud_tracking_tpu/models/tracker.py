@@ -43,12 +43,14 @@ __all__ = ["TrackingResult", "run_tracking_pipeline", "TrackingPipeline"]
 
 _TYPE_NAME = {TYPE_UNKNOWN: "unknown", TYPE_BUOY: "buoy", TYPE_BOAT: "boat"}
 
-# candidate-width (k_pad) per (capacity, tile), process-wide: repeat runs
-# (even across pipeline instances, e.g. bench warmup -> measured) build
-# the spatial index without the candidate-width host sync; the true
-# maximum rides the packed pull and triggers an exact rebuild when a
-# cached hint is too small
-_KPAD_CACHE: Dict[Tuple[int, int], int] = {}
+# candidate-width (k_pad) per (capacity, tile, eps_space, eps_time,
+# cell_size), process-wide: repeat runs (even across pipeline instances,
+# e.g. bench warmup -> measured) build the spatial index without the
+# candidate-width host sync; the true maximum rides the packed pull and
+# triggers an exact rebuild when a cached hint is too small.  The eps/cell
+# terms are in the key because they change the candidate geometry — an
+# undersized stale hint is detected but costs a wasted cluster pass.
+_KPAD_CACHE: Dict[Tuple[int, int, float, float, Optional[float]], int] = {}
 
 
 @dataclass
@@ -194,6 +196,30 @@ class TrackingResult:
             "frame_id", "cluster_id", "num_points", "centroid_x",
             "centroid_y", "mean_intensity",
         ]).to_csv(output_dir / "clusters.csv", index=False)
+
+
+# sharded candidate-width hints per (n_dev, f_pad, capacity, tile, eps);
+# like _KPAD_CACHE, an undersized hint is detected in-program (the true
+# maximum returns in stats['max_cand']) and triggers an exact retry
+_SHARD_KPAD_CACHE: Dict[Tuple, int] = {}
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _compact_sharded_result(xyi, gain, frame_ids, labels_fc, keep, capacity):
+    """Device-side assembly of the sharded result's tight point buffer:
+    [x, y, intensity, frame_local, frame_id, gain, label] compacted to the
+    kept points in row-major (frame-major, slot) order."""
+    f, c, _ = xyi.shape
+    fl = jnp.repeat(jnp.arange(f, dtype=jnp.float32), c)
+    fid_col = jnp.repeat(frame_ids.astype(jnp.float32), c)
+    vals = jnp.concatenate([
+        xyi.reshape(f * c, 3),
+        fl[:, None], fid_col[:, None],
+        gain.reshape(f * c).astype(jnp.float32)[:, None],
+        labels_fc.reshape(f * c).astype(jnp.float32)[:, None],
+    ], axis=-1)
+    out, _ = compact_masked(vals, keep.reshape(-1), capacity)
+    return out
 
 
 @jax.jit
@@ -401,12 +427,17 @@ class TrackingPipeline:
                 y_edges = grid_ops.make_edges(y_min, y_max,
                                               lf.grid_resolution_m)
                 land_shape = (len(x_edges) - 1, len(y_edges) - 1)
-                land_args = (jnp.asarray(x_edges, jnp.float32),
-                             jnp.asarray(y_edges, jnp.float32))
+                # (2, E) [hi, lo] planes: digitize verdicts are bit-exact
+                # to the host's float64 np.digitize (ops/grid.py)
+                land_args = (jnp.asarray(grid_ops.edges_hilo(x_edges)),
+                             jnp.asarray(grid_ops.edges_hilo(y_edges)))
 
         label_cap = 1024
         max_c = cfg.tracking.max_clusters_per_frame
         max_obj = cfg.tracking.max_objects
+        tile_sz = cfg.clustering.tile_size
+        kk = (n_dev, f_pad, c, tile_sz, float(eps_space), float(eps_time))
+        k_pad = _SHARD_KPAD_CACHE.get(kk, 64)
         with timer.stage("sharded_step"):
             while True:
                 step = sharded_tracking_step(
@@ -415,16 +446,28 @@ class TrackingPipeline:
                     land_persistence=lf.persistence_threshold,
                     land_min_intensity=lf.min_intensity,
                     num_frames_real=f,
-                    tile=cfg.clustering.tile_size,
+                    tile=tile_sz,
                     max_sweeps=cfg.clustering.max_label_sweeps,
                     label_cap=label_cap, max_clusters=max_c,
                     max_objects=max_obj,
                     history=cfg.tracking.motion_history_frames,
                     max_missed=cfg.tracking.max_missed_frames,
                     max_dist=cfg.tracking.max_association_distance,
-                    stationary=cfg.tracking.stationary_velocity_threshold)
+                    stationary=cfg.tracking.stationary_velocity_threshold,
+                    k_pad=k_pad)
                 labels_fc, num_clusters, converged, state, records, stats = \
                     step(xyi, count, frame_ids, *land_args)
+                # the bounded candidate table must cover the true maximum
+                # FIRST: an overflowed table means this run's labels (and
+                # every count derived from them) are invalid
+                max_cand = int(stats["max_cand"])
+                if max_cand > k_pad:
+                    k_pad = 1 << (max_cand - 1).bit_length()
+                    self._log(f"  [capacity] candidate width {max_cand} "
+                              f"exceeds k_pad; growing to {k_pad}")
+                    _SHARD_KPAD_CACHE[kk] = k_pad
+                    continue
+                _SHARD_KPAD_CACHE[kk] = k_pad
                 num_clusters = int(num_clusters)
                 if not bool(converged):
                     raise RuntimeError(
@@ -451,48 +494,49 @@ class TrackingPipeline:
                 if not grown:
                     break
 
+        # Lazy gather: compact labels + point columns into one tight device
+        # buffer (same row-major kept order as the single-chip path); only
+        # the tiny per-frame kept counts and the final tracker state cross
+        # to the host here.  The bulky labels/points pull on property
+        # access exactly like run_on_frames' result (callers that only
+        # consume CSV summaries never transfer the point buffer).
         with timer.stage("gather"):
-            keep = np.asarray(stats["keep"])[:f]
-            labels_fc = np.asarray(labels_fc)[:f]
-            xyi_np = np.asarray(ingested.xyi)
-            gain_np = np.asarray(ingested.gain)
-            kept_flat = keep.reshape(-1)
-            n_points = int(kept_flat.sum())
-            flat_xyi = xyi_np.reshape(f * c, 3)[kept_flat]
-            frame_local = np.repeat(np.arange(f, dtype=np.float32), c)[kept_flat]
-            fid_col = np.repeat(
-                np.asarray(ingested.frame_ids, np.float32), c)[kept_flat]
-            gain_col = gain_np.reshape(-1)[kept_flat].astype(np.float32)
-            points = np.column_stack(
-                [flat_xyi, frame_local, fid_col, gain_col])
-            labels = labels_fc.reshape(-1)[kept_flat]
-            state = jax.tree_util.tree_map(
-                lambda a: np.asarray(a), state)
-            records = jax.tree_util.tree_map(
-                lambda a: np.asarray(a)[:f] if getattr(a, "ndim", 0) else a,
-                records)
+            kept_count = np.asarray(stats["kept_count"])[:f]
+            n_points = int(kept_count.sum())
+            cap = _quarter_pow2(n_points)
+            compacted = _compact_sharded_result(
+                ingested.xyi, ingested.gain,
+                jnp.asarray(ingested.frame_ids),
+                labels_fc[:f], stats["keep"][:f], cap)
+            points_dev = compacted[:, :6]
+            # cluster ids < label_cap << 2^24, so the float32 ride through
+            # the single compaction is exact
+            labels_dev = compacted[:, 6].astype(jnp.int32)
+            state = jax.tree_util.tree_map(np.asarray, state)
+            records_dev = jax.tree_util.tree_map(
+                lambda a: a[:f] if getattr(a, "ndim", 0) else a, records)
 
-        raw_total = int(jnp.sum(ingested.count))
+        raw_total = (int(ingested.count_host.sum())
+                     if ingested.count_host is not None
+                     else int(jnp.sum(ingested.count)))
         return TrackingResult(
             ingested=ingested,
-            labels_dev=labels,
-            points_dev=points,
+            labels_dev=labels_dev,
+            points_dev=points_dev,
             n_points=n_points,
             num_clusters=num_clusters,
             state=state,
-            records_dev=records,
+            records_dev=records_dev,
             cluster_stats_dev={
-                "centroids": np.asarray(stats["centroids"])[:f],
-                "valid": np.asarray(stats["valid"])[:f],
-                "label": np.asarray(stats["label"])[:f],
-                "num_points": np.asarray(stats["num_points"])[:f],
-                "mean_intensity": np.asarray(stats["mean_intensity"])[:f],
+                "centroids": stats["centroids"][:f],
+                "valid": stats["valid"][:f],
+                "label": stats["label"][:f],
+                "num_points": stats["num_points"][:f],
+                "mean_intensity": stats["mean_intensity"][:f],
             },
             land_cells=int(stats["land_cells"]),
             land_points_removed=raw_total - n_points if use_land else 0,
             timings=timer.report(),
-            _labels_np=labels,
-            _points_np=points,
         )
 
     def run_on_frames(
@@ -538,8 +582,8 @@ class TrackingPipeline:
                 nx, ny = len(x_edges) - 1, len(y_edges) - 1
                 keep, n_land = _land_keep(
                     points0[:, :2], points0[:, 2], valid0,
-                    jnp.asarray(x_edges, jnp.float32),
-                    jnp.asarray(y_edges, jnp.float32), nx, ny,
+                    jnp.asarray(grid_ops.edges_hilo(x_edges)),
+                    jnp.asarray(grid_ops.edges_hilo(y_edges)), nx, ny,
                     jnp.int32(f), jnp.float32(lf.persistence_threshold),
                     jnp.float32(lf.min_intensity))
                 total = int(jnp.sum(keep))  # sync: sizes the cluster buffer
@@ -560,7 +604,8 @@ class TrackingPipeline:
             use_pallas = (cfg.device.use_pallas
                           and jax.default_backend() == "tpu")
             tile_sz = cfg.clustering.tile_size
-            ck = (int(capacity), tile_sz)
+            ck = (int(capacity), tile_sz, float(eps_space), float(eps_time),
+                  cfg.clustering.cell_size)
             k_hint = _KPAD_CACHE.get(ck)
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,

@@ -52,13 +52,44 @@ def test_land_filter_matches_oracle():
     nx, ny = len(xe) - 1, len(ye) - 1
     keep_d, n_land = grid_ops.land_filter_keep(
         jnp.asarray(xy_p), jnp.asarray(i_p), jnp.asarray(valid),
-        jnp.asarray(xe, jnp.float32), jnp.asarray(ye, jnp.float32),
+        jnp.asarray(grid_ops.edges_hilo(xe)),
+        jnp.asarray(grid_ops.edges_hilo(ye)),
         nx, ny, jnp.int32(f), jnp.float32(0.8), jnp.float32(100.0))
     keep_d = np.asarray(keep_d)
     assert int(n_land) == int(land_o.sum()) > 0
     np.testing.assert_array_equal(keep_d[:n], keep_o)
     assert not keep_d[n:].any()  # padding never kept
     assert keep_o.sum() < n  # the filter actually removed something
+
+
+def test_exact_digitize_matches_float64_on_edge_straddling_points():
+    """Points within f32 rounding of a float64 bin edge: the (hi, lo)
+    device digitize must agree with np.digitize on the TRUE edges, where
+    the plain f32-rounded-edge comparison provably diverges."""
+    rng = np.random.default_rng(7)
+    # float64 edges whose f32 roundings move (non-representable values)
+    edges = grid_ops.make_edges(-1234.567, 8000.0, 5.0)
+    hi = edges.astype(np.float32)
+    assert np.any(hi.astype(np.float64) != edges)
+    n_cells = len(edges) - 1
+    # adversarial values: the f32 edge roundings themselves (ties with hi,
+    # decided by lo's sign) plus their f32 neighbors and random fill
+    vals = np.concatenate([
+        hi[1:-1],
+        np.nextafter(hi[1:-1], np.float32(np.inf), dtype=np.float32),
+        np.nextafter(hi[1:-1], np.float32(-np.inf), dtype=np.float32),
+        rng.uniform(edges[0], edges[-1], 500).astype(np.float32),
+    ])
+    want = np.clip(np.digitize(vals.astype(np.float64), edges) - 1,
+                   0, n_cells - 1)
+    got = np.asarray(grid_ops.digitize_clip(
+        jnp.asarray(vals), jnp.asarray(grid_ops.edges_hilo(edges)), n_cells))
+    np.testing.assert_array_equal(got, want)
+    # sanity: the rounded-edge path really does differ on this input set
+    # (otherwise this test would not be exercising the correction)
+    approx = np.asarray(grid_ops.digitize_clip(
+        jnp.asarray(vals), jnp.asarray(hi), n_cells))
+    assert np.any(approx != want)
 
 
 def test_fused_equals_composition():
@@ -72,7 +103,8 @@ def test_fused_equals_composition():
     ye = grid_ops.make_edges(float(all_xy[:, 1].min()),
                              float(all_xy[:, 1].max()), RES)
     nx, ny = len(xe) - 1, len(ye) - 1
-    xe_d, ye_d = jnp.asarray(xe, jnp.float32), jnp.asarray(ye, jnp.float32)
+    xe_d = jnp.asarray(grid_ops.edges_hilo(xe))
+    ye_d = jnp.asarray(grid_ops.edges_hilo(ye))
     args = (jnp.int32(f), jnp.float32(0.5), jnp.float32(80.0))
 
     count, isum = grid_ops.occupancy_grid(
