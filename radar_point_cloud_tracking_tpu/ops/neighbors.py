@@ -227,7 +227,11 @@ def neighbor_core_stats(
 
     def chunk_fn(args):
         qc, qt, qv, cands, ccount = args
-        kmax = jnp.max(ccount)
+        # counts can exceed the static candidate width when the caller
+        # passed an undersized k_pad hint (detected + retried after the
+        # run); the clamp keeps the loop in bounds instead of re-reading
+        # the clamped last column
+        kmax = jnp.minimum(jnp.max(ccount), cands.shape[1])
         qshape = qc.shape[:2]
 
         def cond(state):
@@ -293,7 +297,7 @@ def neighbor_min_sweep(
 
     def chunk_fn(args):
         qc, qt, qv, cands, ccount, qlim = args
-        kmax = jnp.max(ccount)
+        kmax = jnp.minimum(jnp.max(ccount), cands.shape[1])
 
         def cond(state):
             return state[0] < kmax
@@ -376,7 +380,7 @@ def neighbor_min_sweep_gated(
 
     def chunk_fn(args):
         qc, qt, qv, cands, ccount, acc0 = args
-        kmax = jnp.max(ccount)
+        kmax = jnp.minimum(jnp.max(ccount), cands.shape[1])
 
         def cond(state):
             return state[0] < kmax

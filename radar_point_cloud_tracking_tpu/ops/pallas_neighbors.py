@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .neighbors import INT_MAX, SpatialIndex
 
-__all__ = ["min_sweep_pallas", "core_stats_pallas"]
+__all__ = ["min_sweep_pallas", "core_stats_pallas", "min_sweep_pallas_dma",
+           "core_stats_pallas_dma"]
 
 
 def _interpret() -> bool:
@@ -284,7 +285,9 @@ def _make_dma_min_kernel(k_pad: int, tile: int):
         row.start()
         row.wait()
 
-        n = count_ref[q]
+        # counts can exceed the static table width under an undersized
+        # k_pad hint (detected + retried by the caller); stay in bounds
+        n = jnp.minimum(count_ref[q], k_pad)
         eps2 = eps_ref[0, 0]
         eps_t = eps_ref[0, 1]
 
@@ -344,6 +347,129 @@ def _make_dma_min_kernel(k_pad: int, tile: int):
         out_ref[0, 0] = acc[0]
 
     return kernel
+
+
+def _make_dma_stats_kernel(k_pad: int, tile: int):
+    def kernel(count_ref, cand_hbm, fplanes_hbm, iplanes_hbm,
+               qf_ref, qi_ref, eps_ref, deg_ref,
+               cand_smem, fbuf, ibuf, acc, sems, row_sem):
+        q = pl.program_id(0)
+
+        row = pltpu.make_async_copy(cand_hbm.at[q], cand_smem, row_sem)
+        row.start()
+        row.wait()
+
+        n = jnp.minimum(count_ref[q], k_pad)
+        eps2 = eps_ref[0, 0]
+        eps_t = eps_ref[0, 1]
+
+        xq = qf_ref[0, 0]
+        yq = qf_ref[0, 1]
+        tq = qf_ref[0, 2]
+        vq = qi_ref[0, 0]
+
+        def start_fetch(slot, k):
+            c = cand_smem[0, k]
+            pltpu.make_async_copy(fplanes_hbm.at[c], fbuf.at[slot],
+                                  sems.at[slot, 0]).start()
+            pltpu.make_async_copy(iplanes_hbm.at[c], ibuf.at[slot],
+                                  sems.at[slot, 1]).start()
+
+        def wait_fetch(slot, k):
+            c = cand_smem[0, k]
+            pltpu.make_async_copy(fplanes_hbm.at[c], fbuf.at[slot],
+                                  sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(iplanes_hbm.at[c], ibuf.at[slot],
+                                  sems.at[slot, 1]).wait()
+
+        acc[...] = jnp.zeros_like(acc)
+
+        @pl.when(n > 0)
+        def _():
+            start_fetch(0, 0)
+
+            def body(k, _):
+                slot = jax.lax.rem(k, 2)
+
+                @pl.when(k + 1 < n)
+                def _():
+                    start_fetch(jax.lax.rem(k + 1, 2), k + 1)
+
+                wait_fetch(slot, k)
+                xc = fbuf[slot, 0]
+                yc = fbuf[slot, 1]
+                tc = fbuf[slot, 2]
+                vc = ibuf[slot, 0]
+                dx = xq[:, None] - xc[None, :]
+                dy = yq[:, None] - yc[None, :]
+                dt = tc[None, :] - tq[:, None]
+                mask = ((dx * dx + dy * dy <= eps2)
+                        & (jnp.abs(dt) <= eps_t)
+                        & (vq[:, None] > 0) & (vc[None, :] > 0))
+                acc[0] = acc[0] + jnp.sum(mask, axis=1, dtype=jnp.int32)
+                return 0
+
+            jax.lax.fori_loop(0, n, body, 0)
+
+        deg_ref[0, 0] = acc[0]
+
+    return kernel
+
+
+@jax.jit
+def core_stats_pallas_dma(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+) -> jnp.ndarray:
+    """Manual-DMA ST-neighbor degree sweep (2D coords, no min_frames): the
+    Pallas twin of neighbors.neighbor_core_stats' degree output.  Used by
+    the hybrid clustering path (ops/stdbscan.py) for the min_frames == 1
+    tracker case; the frame-presence variant falls back to XLA."""
+    nt, t = index.num_tiles, index.tile
+    k_pad = index.cand_idx.shape[1]
+
+    zf = jnp.zeros_like(index.times)
+    fplanes = jnp.stack([index.coords[..., 0], index.coords[..., 1],
+                         index.times, zf, zf, zf, zf, zf], axis=1)
+    zi = jnp.zeros((nt, t), jnp.int32)
+    vi = index.valid.astype(jnp.int32)
+    iplanes = jnp.stack([vi, zi, zi, zi, zi, zi, zi, zi], axis=1)
+    eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+
+    q_spec_f = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
+    q_spec_i = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            q_spec_f,
+            q_spec_i,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t), lambda q, cnt: (q, 0, 0)),
+        scratch_shapes=[
+            pltpu.SMEM((1, k_pad), jnp.int32),
+            pltpu.VMEM((2, 8, t), jnp.float32),
+            pltpu.VMEM((2, 8, t), jnp.int32),
+            pltpu.VMEM((1, t), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    deg = pl.pallas_call(
+        _make_dma_stats_kernel(k_pad, t),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+        interpret=_interpret(),
+    )(index.cand_count, index.cand_idx.reshape(nt, 1, k_pad),
+      fplanes, iplanes, fplanes, iplanes, eps)
+    return deg.reshape(nt, t)
 
 
 @jax.jit

@@ -206,10 +206,18 @@ def _min_sweep_impl(use_pallas: bool):
     return sweep
 
 
-def _core_stats_impl(use_pallas: bool):
-    # one sweep per clustering; the XLA engine is fine and avoids the
-    # SMEM-table limit of the scalar-prefetch stats kernel
-    return neighbor_core_stats
+def _core_stats(index: SpatialIndex, eps_space, eps_time, n_offsets: int,
+                use_pallas: bool):
+    """Degree (+ frame presence) sweep: the manual-DMA Pallas kernel covers
+    the hot tracker case (2D coords, no min_frames) with no SMEM-table size
+    limit; other cases use the XLA engine."""
+    if use_pallas and n_offsets == 0 and index.coords.shape[-1] == 2:
+        from .pallas_neighbors import core_stats_pallas_dma
+
+        degree = core_stats_pallas_dma(index, eps_space, eps_time)
+        return degree, jnp.zeros_like(degree)
+    return neighbor_core_stats(index, eps_space, eps_time,
+                               n_offsets=n_offsets)
 
 
 @jax.jit
@@ -313,9 +321,17 @@ def cluster_index(
     """Cluster a built spatial index as one device program: the convergence
     loop is a bounded ``lax.while_loop`` (zero host syncs — the only sync in
     the whole clustering path is the candidate-width pull in the index
-    build)."""
-    degree, frame_count = _core_stats_impl(use_pallas)(
-        index, eps_space, eps_time, n_offsets=n_offsets)
+    build).
+
+    ``use_pallas`` selects the HYBRID engine: the two full-table sweeps
+    (degree stats + the hoisted round-1 min sweep) run as manual-DMA Pallas
+    kernels, while the shrinking tail rounds keep the gated incremental XLA
+    path (gating rescans only changed tiles — a fresh candidate table every
+    round, which the Pallas kernel handles but the compaction itself is
+    XLA's job either way).
+    """
+    degree, frame_count = _core_stats(index, eps_space, eps_time, n_offsets,
+                                      use_pallas)
     core = index.valid & (degree >= jnp.int32(min_samples))
     if min_frames > 1:
         core = core & (frame_count >= jnp.int32(min_frames))
@@ -323,51 +339,33 @@ def cluster_index(
     perm2d, inv = _perm2d_and_inv(index, core)
     label0 = jnp.where(core, perm2d, INT_MAX)
 
-    if use_pallas:
-        def cond(state):
-            _, _, changed, it = state
-            return changed & (it < max_sweeps)
+    # Incremental frontier loop: propagation is monotone, so each round
+    # rescans only candidates in tiles whose labels changed last round,
+    # folding minima into a per-point accumulator.  The accumulator
+    # equals the full sweep's neighbor-min at every round (every label
+    # decrease marks its tile changed, forcing a rescan), so at
+    # convergence it is also exactly the "always" border key — and the
+    # tail rounds plus the final confirming round shrink from full
+    # candidate-table sweeps to a near-empty frontier.  Round 1 always
+    # scans everything, so it runs hoisted as a plain full sweep with
+    # none of the gating's candidate-compaction overhead.
+    label1, acc1, _ = _cc_step(index, label0, core, inv, eps_space,
+                               eps_time, use_pallas=use_pallas)
+    changed1 = jnp.any(label1 != label0, axis=1)
 
-        def body(state):
-            lbl, _, _, it = state
-            new, nbr_min, changed = _cc_step(index, lbl, core, inv,
-                                             eps_space, eps_time,
-                                             use_pallas=True)
-            return new, nbr_min, changed, it + 1
+    def cond(state):
+        return state[3] & (state[4] < max_sweeps)
 
-        # the loop's final (no-change) sweep saw converged labels, so its
-        # raw neighbor minima ARE the border keys for "always" attachment
-        label, last_nbr_min, _, _ = jax.lax.while_loop(
-            cond, body, (label0, jnp.full_like(label0, INT_MAX),
-                         jnp.bool_(True), jnp.int32(0)))
-    else:
-        # Incremental frontier loop: propagation is monotone, so each round
-        # rescans only candidates in tiles whose labels changed last round,
-        # folding minima into a per-point accumulator.  The accumulator
-        # equals the full sweep's neighbor-min at every round (every label
-        # decrease marks its tile changed, forcing a rescan), so at
-        # convergence it is also exactly the "always" border key — and the
-        # tail rounds plus the final confirming round shrink from full
-        # candidate-table sweeps to a near-empty frontier.  Round 1 always
-        # scans everything, so it runs hoisted as a plain full sweep with
-        # none of the gating's candidate-compaction overhead.
-        label1, acc1, _ = _cc_step(index, label0, core, inv, eps_space,
-                                   eps_time, use_pallas=False)
-        changed1 = jnp.any(label1 != label0, axis=1)
+    def body(state):
+        lbl, acc, tchanged, _, it = state
+        new, acc2, changed = _cc_step_gated(index, lbl, core, inv, acc,
+                                            tchanged, eps_space,
+                                            eps_time)
+        return (new, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
 
-        def cond(state):
-            return state[3] & (state[4] < max_sweeps)
-
-        def body(state):
-            lbl, acc, tchanged, _, it = state
-            new, acc2, changed = _cc_step_gated(index, lbl, core, inv, acc,
-                                                tchanged, eps_space,
-                                                eps_time)
-            return (new, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
-
-        label, last_nbr_min, _, _, _ = jax.lax.while_loop(
-            cond, body,
-            (label1, acc1, changed1, jnp.any(changed1), jnp.int32(1)))
+    label, last_nbr_min, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (label1, acc1, changed1, jnp.any(changed1), jnp.int32(1)))
 
     comp_key = jnp.where(core, label, INT_MAX)
     rank_lookup, num_clusters = _finalize_keys(index, comp_key, core)
@@ -396,14 +394,21 @@ def st_dbscan_traceable(
     min_samples: int,
     tile: int = 256,
     max_sweeps: int = 64,
+    k_pad: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully-jittable ST-DBSCAN ('always' border mode): static candidate
     width (no host sync) and a bounded ``lax.while_loop`` for the label
     propagation.  Used by fused single-program pipelines and the graft
     entry; the host-driven :func:`st_dbscan_device` is preferred
-    interactively (adaptive K, early exit)."""
+    interactively (adaptive K, early exit).
+
+    ``k_pad`` bounds the candidate-table width (0 = the dense num_tiles
+    table, safe but O(num_tiles^2) memory — fine for small fused programs;
+    at scale pass a bound and validate ``max(index.cand_count) <= k_pad``
+    like models/tracker.py does, or results silently drop edges)."""
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
-                                tile=tile, k_pad=1 << 30)
+                                tile=tile,
+                                k_pad=k_pad if k_pad > 0 else 1 << 30)
     return cluster_index(index, jnp.float32(eps_space),
                          jnp.float32(eps_time), int(min_samples), 1, 0,
                          "always", int(max_sweeps))

@@ -80,6 +80,7 @@ def sharded_tracking_step(
     max_missed: int = 10,
     max_dist: float = 50.0,
     stationary: float = 1.0,
+    k_pad: int = 128,
 ):
     """Build the jitted sharded step.
 
@@ -99,6 +100,15 @@ def sharded_tracking_step(
     False when min-label propagation hit ``max_sweeps`` before quiescing —
     labels may then split one cluster across shards, so callers must check
     it rather than trust the labeling silently.
+
+    ``k_pad`` statically bounds the per-tile candidate-list width, keeping
+    the spatial index O(num_tiles * k_pad) instead of the dense
+    O(num_tiles^2) table a fully-traceable build would otherwise need.
+    The TRUE per-shard candidate maximum returns in ``stats['max_cand']``
+    (pmax over shards): when it exceeds ``k_pad`` the labeling may be
+    wrong — callers must discard the results and rebuild with
+    ``k_pad >= max_cand`` (models/tracker.py grow-and-retry does this;
+    ``k_pad=0`` means unbounded, i.e. the dense table).
     """
     n_dev = mesh.devices.size
     halo_k = max(1, int(np.floor(eps_time)))
@@ -165,7 +175,8 @@ def sharded_tracking_step(
                 + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
 
         index = build_spatial_index(coords, times, pvalid, eps_space,
-                                    eps_time, tile=tile, k_pad=1 << 30)
+                                    eps_time, tile=tile,
+                                    k_pad=k_pad if k_pad > 0 else 1 << 30)
         es = jnp.float32(eps_space)
         et = jnp.float32(eps_time)
 
@@ -306,6 +317,10 @@ def sharded_tracking_step(
             "label_overflow": jax.lax.psum(cs.label_overflow, ax),
             "land_cells": (jnp.sum(land).astype(jnp.int32) if use_land
                            else jnp.int32(0)),
+            # true candidate-width maximum across shards: > k_pad means the
+            # bounded candidate table overflowed and the labels are invalid
+            "max_cand": jax.lax.pmax(
+                jnp.max(index.cand_count).astype(jnp.int32), ax),
         }
         return labels_local, num_clusters, converged, state, records, stats
 
@@ -318,7 +333,7 @@ def sharded_tracking_step(
         "num_points": shard_spec, "mean_intensity": shard_spec,
         "present_count": shard_spec, "keep": shard_spec,
         "kept_count": shard_spec,
-        "label_overflow": P(), "land_cells": P(),
+        "label_overflow": P(), "land_cells": P(), "max_cand": P(),
     }
     sharded = jax.shard_map(
         body, mesh=mesh,
