@@ -34,16 +34,23 @@ HAVE_NATIVE = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         "-o", str(_SO), str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
-    except Exception as exc:  # noqa: BLE001 - any build failure -> fallback
-        print(f"[radar_native] build failed, using NumPy fallbacks: {exc}",
-              file=sys.stderr)
-        return False
+    except Exception:
+        # some toolchains reject -march=native; retry portable before
+        # falling back to NumPy
+        try:
+            subprocess.run([c for c in cmd if c != "-march=native"],
+                           check=True, capture_output=True, timeout=120)
+            return True
+        except Exception as exc:  # noqa: BLE001 - any failure -> fallback
+            print(f"[radar_native] build failed, using NumPy fallbacks: "
+                  f"{exc}", file=sys.stderr)
+            return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
