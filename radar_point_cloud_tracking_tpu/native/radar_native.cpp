@@ -18,6 +18,10 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -270,6 +274,22 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
   int u8_ok = 1;  // all shipped echoes integral in [0,255] -> uint8 wire
   if (stride < 1) stride = 1;
 
+  // Integer-token threshold shortcut: for a plain decimal integer v and
+  // threshold >= 0, v > threshold  <=>  v >= floor(threshold) + 1, which a
+  // digit-count + lexicographic compare decides without numeric
+  // conversion.  Most surviving cells are NOT kept by the stride, so their
+  // full float parse (the former per-cell hot path) is skipped entirely;
+  // any token that is not a canonical nonneg integer falls back to
+  // parse_float_fast with identical semantics.
+  const bool thr_nonneg = !(threshold < 0.0f) && threshold < 1e18f;
+  char min_str[24];
+  int min_len = 0;
+  if (thr_nonneg) {
+    long long min_int = (long long)threshold;  // floor for thr >= 0
+    min_int += 1;
+    min_len = snprintf(min_str, sizeof(min_str), "%lld", min_int);
+  }
+
   while (p < end && row < max_rows) {
     const char *nl = (const char *)memchr(p, '\n', (size_t)(end - p));
     const char *line_end = nl ? nl : end;
@@ -297,7 +317,100 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     memcpy(&zpat, "0,0,0,0,", 8);
     char zpat64[64];
     for (int k = 0; k < 64; k += 8) memcpy(zpat64 + k, "0,0,0,0,", 8);
-    for (int b = 0; b < num_echo; b++) {
+
+    int b = 0;
+
+    // one candidate token [ts, te) at column bc: decide the threshold
+    // verdict (length + lexicographic compare for canonical integers,
+    // numeric parse otherwise) and emit if it is a kept survivor
+    auto candidate = [&](const char *ts, const char *te, int bc) {
+      long long tl = te - ts;
+      bool plain_int = tl > 0 && tl <= 18 && !(ts[0] == '0' && tl > 1);
+      if (plain_int) {
+        for (const char *s = ts; s < te; s++) {
+          if (*s < '0' || *s > '9') {
+            plain_int = false;
+            break;
+          }
+        }
+      }
+      if (plain_int) {
+        bool over = tl > min_len ||
+                    (tl == min_len && memcmp(ts, min_str, (size_t)tl) >= 0);
+        if (!over) return;
+        if (rank % stride == 0 && npts < max_pts) {
+          long long iv = 0;
+          for (const char *s = ts; s < te; s++) iv = iv * 10 + (*s - '0');
+          pt_row[npts] = (uint16_t)row;
+          pt_bin[npts] = (uint16_t)bc;
+          pt_val[npts] = (float)iv;
+          u8_ok &= (iv <= 255);
+          npts++;
+        }
+        rank++;
+        return;
+      }
+      const char *pp = ts;
+      float v = parse_float_fast(&pp, te);
+      if (v > threshold) {
+        if (rank % stride == 0 && npts < max_pts) {
+          pt_row[npts] = (uint16_t)row;
+          pt_bin[npts] = (uint16_t)bc;
+          pt_val[npts] = v;
+          u8_ok &= (v >= 0.0f) & (v <= 255.0f) & (v == (float)(int)v);
+          npts++;
+        }
+        rank++;
+      }
+    };
+
+#if defined(__AVX2__)
+    if (thr_nonneg) {
+      // Bit-parallel token scan: 64-byte comma bitmasks; only tokens of
+      // length >= 2 become scalar work (a single digit can never exceed
+      // min_int >= 1 when its length is below min_len — min_len == 1
+      // cases make every 1+ digit token a candidate via the c2 mask being
+      // moot, see below), and the column index advances by popcount.
+      // Radar rows are ~75% bare "0" cells, so the scalar token walk was
+      // the parse floor (~1.4 GB/s); this scan moves it to ~5 GB/s.
+      uint64_t prev_cm = ~0ull;  // line start: a comma precedes q
+      const char *cur = q;
+      const __m256i cc = _mm256_set1_epi8(',');
+      while (b < num_echo && cur + 64 <= line_end) {
+        __m256i lo = _mm256_loadu_si256((const __m256i *)cur);
+        __m256i hi = _mm256_loadu_si256((const __m256i *)(cur + 32));
+        uint64_t cm =
+            (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(lo, cc)) |
+            ((uint64_t)(uint32_t)_mm256_movemask_epi8(
+                 _mm256_cmpeq_epi8(hi, cc))
+             << 32);
+        int ncommas = __builtin_popcountll(cm);
+        if (b + ncommas >= num_echo) break;  // row tail: finish scalar
+        // a token ending at bit i has length >= 2 iff no comma at i-1, i-2
+        uint64_t c1 = (cm << 1) | (prev_cm >> 63);
+        uint64_t c2 = (cm << 2) | (prev_cm >> 62);
+        uint64_t cand = cm & ~c1 & ~c2;
+        if (min_len <= 1) cand = cm & ~c1;  // single digits can qualify
+        while (cand) {
+          int pos = __builtin_ctzll(cand);
+          cand &= cand - 1;
+          const char *te = cur + pos;
+          const char *ts = te - 1;
+          while (ts > q && ts[-1] != ',') ts--;
+          candidate(ts, te,
+                    b + __builtin_popcountll(cm & ((1ull << pos) - 1)));
+        }
+        b += ncommas;
+        prev_cm = cm;
+        cur += 64;
+      }
+      // resume the scalar loop at the start of the pending token
+      while (cur > q && cur[-1] != ',') cur--;
+      q = cur;
+    }
+#endif
+
+    for (; b < num_echo; b++) {
       // fast path: bare "0" cells dominate radar CSVs (only valid while a
       // zero cannot pass the threshold)
       if (zero_below) {
@@ -318,6 +431,39 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
           q += 2;
           continue;
         }
+      }
+      // token span [q, te): canonical nonneg integers decide the verdict
+      // by length + memcmp; only KEPT survivors get a value parse
+      const char *te = q;
+      while (te < line_end && *te != ',') te++;
+      long long tl = te - q;
+      bool plain_int = thr_nonneg && tl > 0 && tl <= 18 &&
+                       !(q[0] == '0' && tl > 1);
+      if (plain_int) {
+        for (const char *s = q; s < te; s++) {
+          if (*s < '0' || *s > '9') {
+            plain_int = false;
+            break;
+          }
+        }
+      }
+      if (plain_int) {
+        bool over = tl > min_len ||
+                    (tl == min_len && memcmp(q, min_str, (size_t)tl) >= 0);
+        if (over) {
+          if (rank % stride == 0 && npts < max_pts) {
+            long long iv = 0;
+            for (const char *s = q; s < te; s++) iv = iv * 10 + (*s - '0');
+            pt_row[npts] = (uint16_t)row;
+            pt_bin[npts] = (uint16_t)b;
+            pt_val[npts] = (float)iv;
+            u8_ok &= (iv <= 255);
+            npts++;
+          }
+          rank++;
+        }
+        q = (te < line_end) ? te + 1 : line_end;
+        continue;
       }
       float v = (q < line_end) ? parse_float_fast(&q, line_end) : 0.0f;
       while (q < line_end && *q != ',') q++;
