@@ -133,12 +133,14 @@ class DeviceConfig(BaseModel):
 
     num_devices: int = 0  # 0 = all available
     mesh_axis: str = "frames"
-    # Use the manual-DMA Pallas neighbor-sweep kernel (TPU only).  It wins on
-    # dense candidate distributions (~1.7x over the XLA sweep at uniform
-    # K~1024) but the count-sorted XLA path is faster on the skewed
-    # distributions of real clutter scenes (measured 2.11s vs 2.43s per 100
-    # frames at 1.55M pts), so it is opt-in.
-    use_pallas: bool = False
+    # Hybrid Pallas engine (TPU only): the degree-stats full sweep runs as
+    # the manual-DMA Pallas kernel — measured 186 ms vs 235 ms XLA
+    # standalone at the bench scene's 1.55M points (in the full cluster
+    # program the difference is within noise: 1433 vs 1430 ms) — while the
+    # min sweeps stay XLA (DMA min kernel measured a wash, 290 vs 284 ms,
+    # and the gated incremental tail is XLA's strength).  Full A/B record
+    # in ROUND3.md.
+    use_pallas: bool = True
     ingest_prefetch: int = 2  # host->device pipelining depth
     # host CSV-parse thread pool size; 0 = one worker per host core (the
     # native parser releases the GIL, so parsing scales across cores)

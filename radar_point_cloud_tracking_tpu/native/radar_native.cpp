@@ -375,7 +375,10 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
       // the parse floor (~1.4 GB/s); this scan moves it to ~5 GB/s.
       uint64_t prev_cm = ~0ull;  // line start: a comma precedes q
       const char *cur = q;
+      const char *tok_start = q;  // start of the token spanning chunks
       const __m256i cc = _mm256_set1_epi8(',');
+      const __m256i d_lo = _mm256_set1_epi8('0' - 1);
+      const __m256i d_hi = _mm256_set1_epi8('9' + 1);
       while (b < num_echo && cur + 64 <= line_end) {
         __m256i lo = _mm256_loadu_si256((const __m256i *)cur);
         __m256i hi = _mm256_loadu_si256((const __m256i *)(cur + 32));
@@ -391,15 +394,56 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
         uint64_t c2 = (cm << 2) | (prev_cm >> 62);
         uint64_t cand = cm & ~c1 & ~c2;
         if (min_len <= 1) cand = cm & ~c1;  // single digits can qualify
-        while (cand) {
-          int pos = __builtin_ctzll(cand);
-          cand &= cand - 1;
-          const char *te = cur + pos;
-          const char *ts = te - 1;
-          while (ts > q && ts[-1] != ',') ts--;
-          candidate(ts, te,
-                    b + __builtin_popcountll(cm & ((1ull << pos) - 1)));
+        if (cand) {
+          // digit-class mask decides all-digits per token with bit ops
+          uint64_t dg =
+              (uint32_t)_mm256_movemask_epi8(_mm256_and_si256(
+                  _mm256_cmpgt_epi8(lo, d_lo), _mm256_cmpgt_epi8(d_hi, lo))) |
+              ((uint64_t)(uint32_t)_mm256_movemask_epi8(_mm256_and_si256(
+                   _mm256_cmpgt_epi8(hi, d_lo), _mm256_cmpgt_epi8(d_hi, hi)))
+               << 32);
+          do {
+            int pos = __builtin_ctzll(cand);
+            cand &= cand - 1;
+            const char *te = cur + pos;
+            int bc = b + __builtin_popcountll(cm & ((1ull << pos) - 1));
+            uint64_t below = cm & ((1ull << pos) - 1);
+            if (below) {
+              // token starts inside this chunk: start/length/digits all
+              // from the masks, no byte re-reads
+              int sbit = 63 - __builtin_clzll(below);  // last comma < pos
+              const char *ts = cur + sbit + 1;
+              long long tl = pos - sbit - 1;
+              uint64_t span = (((1ull << pos) - 1)
+                              & ~((1ull << (sbit + 1)) - 1));
+              if ((dg & span) == span && tl <= 18 &&
+                  !(ts[0] == '0' && tl > 1)) {
+                bool over =
+                    tl > min_len ||
+                    (tl == min_len &&
+                     memcmp(ts, min_str, (size_t)tl) >= 0);
+                if (over) {
+                  if (rank % stride == 0 && npts < max_pts) {
+                    long long iv = 0;
+                    for (const char *s = ts; s < te; s++)
+                      iv = iv * 10 + (*s - '0');
+                    pt_row[npts] = (uint16_t)row;
+                    pt_bin[npts] = (uint16_t)bc;
+                    pt_val[npts] = (float)iv;
+                    u8_ok &= (iv <= 255);
+                    npts++;
+                  }
+                  rank++;
+                }
+              } else {
+                candidate(ts, te, bc);
+              }
+            } else {
+              candidate(tok_start, te, bc);  // spans a chunk boundary
+            }
+          } while (cand);
         }
+        if (cm) tok_start = cur + (63 - __builtin_clzll(cm)) + 1;
         b += ncommas;
         prev_cm = cm;
         cur += 64;

@@ -131,7 +131,7 @@ def _cc_step(
     return new, nbr_min, jnp.any(new != label)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("jump_cap",))
 def _cc_step_gated(
     index: SpatialIndex,
     label: jnp.ndarray,
@@ -141,6 +141,7 @@ def _cc_step_gated(
     tile_changed: jnp.ndarray,
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
+    jump_cap: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Incremental :func:`_cc_step`: the neighbor-min sweep rescans only
     candidates in changed tiles (see neighbor_min_sweep_gated); hooking and
@@ -158,32 +159,46 @@ def _cc_step_gated(
     payload = jnp.where(core, label, INT_MAX)
     nbr_min = neighbor_min_sweep_gated(index, payload, eps_space, eps_time,
                                        acc, tile_changed)
-    new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
+    direct = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
+    sweep_changed = jnp.any(direct != jnp.where(core, label, INT_MAX))
 
-    flat_old = payload.reshape(-1)
-    tgt = jnp.where(flat_old < INT_MAX,
-                    inv[jnp.clip(flat_old, 0, n_orig - 1)], n_sorted)
-    vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
-    root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
-        vals, mode="drop")[:n_sorted]
-    new = jnp.minimum(new, jnp.where(core, root_min.reshape(new.shape),
-                                     INT_MAX))
+    def converge(lbl):
+        flat_old = payload.reshape(-1)
+        tgt = jnp.where(flat_old < INT_MAX,
+                        inv[jnp.clip(flat_old, 0, n_orig - 1)], n_sorted)
+        vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
+        root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
+            vals, mode="drop")[:n_sorted]
+        new = jnp.minimum(lbl, jnp.where(core, root_min.reshape(lbl.shape),
+                                         INT_MAX))
 
-    def jump_until(state):
-        lbl, changed, it = state
-        j = jump(lbl)
-        return j, jnp.any(j != lbl), it + 1
+        def jump_until(state):
+            l, changed, it = state
+            j = jump(l)
+            return j, jnp.any(j != l), it + 1
 
-    def jump_cond(state):
-        # capped at 2 passes per round: each pass halves chain depth, and
-        # leftover chains finish in later rounds (a no-change round is still
-        # a sound global fixpoint test — one identity pass implies jump
-        # fixpoint); uncapped detection passes cost a full dense pass each
-        _, changed, it = state
-        return changed & (it < 2)
+        def jump_cond(state):
+            # capped passes per round (default 2): each pass halves chain
+            # depth, and leftover chains finish in later rounds (a
+            # no-change round is still a sound global fixpoint test — one
+            # identity pass implies jump fixpoint); uncapped detection
+            # passes cost a full dense pass each
+            _, changed, it = state
+            return changed & (it < jump_cap)
 
-    new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
-                                   (new, jnp.bool_(True), jnp.int32(0)))
+        new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
+                                       (new, jnp.bool_(True), jnp.int32(0)))
+        return new
+
+    # Hooking only matters when the sweep decreased some label: with
+    # nbr_min_i >= label_i everywhere, root_min >= the root's own label
+    # (hook target p = the point named by label_i, and p's label <= p <=
+    # nbr_min_i), so the quiescent-sweep branch skips the hook scatter and
+    # runs a SINGLE jump pass — residual chains from earlier capped jump
+    # rounds must still collapse, and the exit test stays sound: the loop
+    # only stops when the sweep is quiescent AND that jump is an identity,
+    # i.e. every label already names a root.
+    new = jax.lax.cond(sweep_changed, converge, jump, direct)
     return new, nbr_min, jnp.any(new != label)
 
 
@@ -306,7 +321,9 @@ def st_dbscan_device(
 
 @functools.partial(jax.jit, static_argnames=("min_samples", "min_frames",
                                              "n_offsets", "border_mode",
-                                             "max_sweeps", "use_pallas"))
+                                             "max_sweeps", "use_pallas",
+                                             "hoisted_rounds",
+                                             "tail_jump_cap"))
 def cluster_index(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
@@ -317,18 +334,19 @@ def cluster_index(
     border_mode: str,
     max_sweeps: int,
     use_pallas: bool = False,
+    hoisted_rounds: int = 1,
+    tail_jump_cap: int = 2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cluster a built spatial index as one device program: the convergence
     loop is a bounded ``lax.while_loop`` (zero host syncs — the only sync in
     the whole clustering path is the candidate-width pull in the index
     build).
 
-    ``use_pallas`` selects the HYBRID engine: the two full-table sweeps
-    (degree stats + the hoisted round-1 min sweep) run as manual-DMA Pallas
-    kernels, while the shrinking tail rounds keep the gated incremental XLA
-    path (gating rescans only changed tiles — a fresh candidate table every
-    round, which the Pallas kernel handles but the compaction itself is
-    XLA's job either way).
+    ``use_pallas`` selects the HYBRID engine: the degree-stats full sweep
+    runs as the manual-DMA Pallas kernel (measured 186 ms vs 235 ms XLA at
+    the bench scene's 1.55M points), while the min sweeps stay XLA — the
+    DMA min kernel measured a wash there (290 ms vs 284 ms; both numbers
+    in ROUND3.md) and the gated incremental tail is XLA's strength.
     """
     degree, frame_count = _core_stats(index, eps_space, eps_time, n_offsets,
                                       use_pallas)
@@ -350,8 +368,21 @@ def cluster_index(
     # scans everything, so it runs hoisted as a plain full sweep with
     # none of the gating's candidate-compaction overhead.
     label1, acc1, _ = _cc_step(index, label0, core, inv, eps_space,
-                               eps_time, use_pallas=use_pallas)
-    changed1 = jnp.any(label1 != label0, axis=1)
+                               eps_time, use_pallas=False)
+    prev = label0
+    for _ in range(hoisted_rounds - 1):
+        # early rounds rescan essentially everything (the round-2 frontier
+        # on the bench scene is 3037/3072 tiles), so additional hoisted
+        # full rounds skip the gating's candidate-compaction overhead and
+        # keep round 1's deeper jump-to-fixpoint collapse
+        prev = label1
+        label1, nbr1, _ = _cc_step(index, label1, core, inv, eps_space,
+                                   eps_time, use_pallas=False)
+        acc1 = jnp.minimum(acc1, nbr1)
+    # the gated loop's frontier: tiles whose labels changed in the LAST
+    # hoisted round (monotone labels make this exactly the set whose
+    # candidates round hoisted+1 must rescan)
+    changed1 = jnp.any(label1 != prev, axis=1)
 
     def cond(state):
         return state[3] & (state[4] < max_sweeps)
@@ -360,7 +391,8 @@ def cluster_index(
         lbl, acc, tchanged, _, it = state
         new, acc2, changed = _cc_step_gated(index, lbl, core, inv, acc,
                                             tchanged, eps_space,
-                                            eps_time)
+                                            eps_time,
+                                            jump_cap=tail_jump_cap)
         return (new, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
 
     label, last_nbr_min, _, _, _ = jax.lax.while_loop(
