@@ -276,7 +276,7 @@ def _envelope_ply(path: Path, n_points: int = 10_000_000,
     path.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
     write_ply(path, PointCloud(x=xy[:, 0], y=xy[:, 1], z=z, colors=colors),
-              binary=True)
+              use_binary=True)
     log(f"envelope PLY ({len(xy):,} pts) written in "
         f"{time.perf_counter() - t0:.1f}s")
     return path
