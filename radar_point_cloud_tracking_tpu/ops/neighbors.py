@@ -37,6 +37,12 @@ __all__ = [
 ]
 
 INT_MAX = np.int32(2**31 - 1)
+# invalid points' coordinates inside the sorted index (matches
+# ops/geometry.PAD_COORD): any valid-invalid pair fails the distance test
+# by construction, so the pair predicate needs no validity operands
+_PAD_SENTINEL = np.float32(1.0e9)
+# dead candidate slots' time: |dt| is huge, so they fail the temporal test
+_DEAD_TIME = np.float32(4.0e9)
 _QUERY_CHUNK = 16  # query tiles per sweep step (lax.map runs chunks
 # sequentially; measured optimum at bench scale — smaller chunks tighten
 # the per-chunk dynamic loop bound, larger ones amortize per-step
@@ -106,11 +112,17 @@ def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile):
     perm = jnp.argsort(key, stable=True)
 
     pad = num_tiles * tile - n
-    coords_s = coords[perm]
+    # invalid points take a far-away sentinel coordinate so the distance
+    # predicate rejects any valid-invalid pair BY CONSTRUCTION — the
+    # sweeps then evaluate d2/dt without per-point validity operands
+    # (invalid-invalid pairs can pass, but invalid points never carry a
+    # payload and their own stats are masked by index.valid downstream)
+    coords_s = jnp.where(valid[:, None], coords, _PAD_SENTINEL)[perm]
     times_s = times[perm]
     valid_s = valid[perm]
     if pad:
-        coords_s = jnp.pad(coords_s, ((0, pad), (0, 0)))
+        coords_s = jnp.pad(coords_s, ((0, pad), (0, 0)),
+                           constant_values=_PAD_SENTINEL)
         times_s = jnp.pad(times_s, ((0, pad),))
         valid_s = jnp.pad(valid_s, ((0, pad),))
     coords_t = coords_s.reshape(num_tiles, tile, d)
@@ -196,14 +208,20 @@ def build_spatial_index(
 # ---------------------------------------------------------------------------
 
 
-def _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time):
+def _pair_mask(qc, qt, cc, ct, eps2, eps_time):
     """Dense (QC, T, T) spatio-temporal neighbor predicate for a chunk of
-    query tiles against one gathered candidate tile each."""
+    query tiles against one gathered candidate tile each.
+
+    No validity operands: the index build substitutes a far-away sentinel
+    coordinate for invalid points (valid-invalid pairs fail the distance
+    test by construction) and callers fold candidate-slot liveness into
+    ``ct`` (dead slots carry a huge time).  Invalid-invalid pairs can pass,
+    but invalid points never carry payloads and their own statistics are
+    masked by ``index.valid`` downstream."""
     diff = qc[:, :, None, :] - cc[:, None, :, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     dt = ct[:, None, :] - qt[:, :, None]
-    return ((d2 <= eps2) & (jnp.abs(dt) <= eps_time)
-            & qv[:, :, None] & cv[:, None, :]), dt
+    return (d2 <= eps2) & (jnp.abs(dt) <= eps_time), dt
 
 
 @functools.partial(jax.jit, static_argnames=("n_offsets",))
@@ -219,6 +237,9 @@ def neighbor_core_stats(
     stdbscan_denoising_pipeline.py:308-315).
 
     Returns (degree (Ntiles, T) int32, frame_count (Ntiles, T) int32).
+    Outputs at invalid/padded slots are unspecified (the sentinel-
+    coordinate design lets invalid-invalid pairs count there); consumers
+    must mask with ``index.valid``.
     """
     eps2 = eps_space * eps_space
     coords, times, valid = index.coords, index.times, index.valid
@@ -242,9 +263,8 @@ def neighbor_core_stats(
             cidx = cands[:, k]
             live = k < ccount
             cc = coords[cidx]
-            ct = times[cidx]
-            cv = valid[cidx] & live[:, None]
-            mask, dt = _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time)
+            ct = jnp.where(live[:, None], times[cidx], _DEAD_TIME)
+            mask, dt = _pair_mask(qc, qt, cc, ct, eps2, eps_time)
             deg = deg + jnp.sum(mask, axis=2, dtype=jnp.int32)
             if ki > 0:
                 dti = jnp.round(dt).astype(jnp.int32)
@@ -279,6 +299,11 @@ def neighbor_min_sweep(
 ) -> jnp.ndarray:
     """Per-point minimum of ``payload`` over ST-neighbors (self included).
 
+    Contract: ``payload`` must be INT_MAX at invalid/padded slots (the
+    sentinel-coordinate design evaluates invalid-invalid pairs as
+    neighbors, which is harmless exactly because their payloads are
+    identity), and outputs at invalid slots are unspecified.
+
     With ``use_limit`` a neighbor's payload participates only when it is
     strictly below the query point's ``query_limit`` OR the neighbor carries
     ``bypass_limit`` (used for the denoiser's scan-order-dependent border
@@ -307,9 +332,8 @@ def neighbor_min_sweep(
             cidx = cands[:, k]
             live = k < ccount
             cc = coords[cidx]
-            ct = times[cidx]
-            cv = valid[cidx] & live[:, None]
-            mask, _ = _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time)
+            ct = jnp.where(live[:, None], times[cidx], _DEAD_TIME)
+            mask, _ = _pair_mask(qc, qt, cc, ct, eps2, eps_time)
             pay = pb = payload[cidx][:, None, :]  # (QC, 1, T)
             if use_limit:
                 byp = bypass_limit[cidx][:, None, :]
@@ -390,9 +414,8 @@ def neighbor_min_sweep_gated(
             cidx = cands[:, kk]
             live = kk < ccount
             cc = coords[cidx]
-            ct = times[cidx]
-            cv = valid[cidx] & live[:, None]
-            mask, _ = _pair_mask(qc, qt, qv, cc, ct, cv, eps2, eps_time)
+            ct = jnp.where(live[:, None], times[cidx], _DEAD_TIME)
+            mask, _ = _pair_mask(qc, qt, cc, ct, eps2, eps_time)
             pay = payload[cidx][:, None, :]
             cand_min = jnp.min(jnp.where(mask, pay, INT_MAX), axis=2)
             return kk + 1, jnp.minimum(a, cand_min)

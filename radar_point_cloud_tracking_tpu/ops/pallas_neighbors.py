@@ -329,14 +329,15 @@ def _make_dma_min_kernel(k_pad: int, tile: int):
                 xc = fbuf[slot, 0]
                 yc = fbuf[slot, 1]
                 tc = fbuf[slot, 2]
-                vc = ibuf[slot, 0]
                 pay = ibuf[slot, 1]
                 dx = xq[:, None] - xc[None, :]
                 dy = yq[:, None] - yc[None, :]
                 dt = tc[None, :] - tq[:, None]
+                # no validity operands: invalid points carry the far-away
+                # sentinel coordinate (see neighbors._sort_and_tile), and
+                # the fori_loop covers exactly the live candidates
                 mask = ((dx * dx + dy * dy <= eps2)
-                        & (jnp.abs(dt) <= eps_t)
-                        & (vq[:, None] > 0) & (vc[None, :] > 0))
+                        & (jnp.abs(dt) <= eps_t))
                 cand_min = jnp.min(jnp.where(mask, pay[None, :], INT_MAX),
                                    axis=1)
                 acc[0] = jnp.minimum(acc[0], cand_min)
@@ -399,13 +400,12 @@ def _make_dma_stats_kernel(k_pad: int, tile: int):
                 xc = fbuf[slot, 0]
                 yc = fbuf[slot, 1]
                 tc = fbuf[slot, 2]
-                vc = ibuf[slot, 0]
                 dx = xq[:, None] - xc[None, :]
                 dy = yq[:, None] - yc[None, :]
                 dt = tc[None, :] - tq[:, None]
+                # sentinel-coordinate invalid points need no validity test
                 mask = ((dx * dx + dy * dy <= eps2)
-                        & (jnp.abs(dt) <= eps_t)
-                        & (vq[:, None] > 0) & (vc[None, :] > 0))
+                        & (jnp.abs(dt) <= eps_t))
                 acc[0] = acc[0] + jnp.sum(mask, axis=1, dtype=jnp.int32)
                 return 0
 

@@ -33,8 +33,12 @@ def test_core_stats_matches_xla(d):
     es, et = jnp.float32(4.0), jnp.float32(1.0)
     deg_x, fc_x = neighbor_core_stats(idx, es, et, n_offsets=1)
     deg_p, fc_p = core_stats_pallas(idx, es, et, n_offsets=1)
-    np.testing.assert_array_equal(np.asarray(deg_p), np.asarray(deg_x))
-    np.testing.assert_array_equal(np.asarray(fc_p), np.asarray(fc_x))
+    # outputs at invalid/padded slots are unspecified (the XLA engine's
+    # sentinel-coordinate design lets invalid-invalid pairs count there;
+    # every consumer masks with index.valid) — compare valid slots
+    v = np.asarray(idx.valid)
+    np.testing.assert_array_equal(np.asarray(deg_p)[v], np.asarray(deg_x)[v])
+    np.testing.assert_array_equal(np.asarray(fc_p)[v], np.asarray(fc_x)[v])
 
 
 def test_min_sweep_matches_xla():
@@ -43,6 +47,9 @@ def test_min_sweep_matches_xla():
     rng = np.random.default_rng(1)
     payload = rng.integers(0, 1000, idx.coords.shape[:2]).astype(np.int32)
     payload[rng.random(payload.shape) < 0.5] = INT_MAX
+    # engine contract: invalid/padded slots never carry payloads (every
+    # production caller writes them INT_MAX via where(core, ..., INT_MAX))
+    payload[~np.asarray(idx.valid)] = INT_MAX
     pay = jnp.asarray(payload)
     out_x = neighbor_min_sweep(idx, pay, es, et)
     out_p = min_sweep_pallas(idx, pay, es, et)
@@ -55,6 +62,7 @@ def test_min_sweep_with_limit_matches_xla():
     rng = np.random.default_rng(3)
     shape = idx.coords.shape[:2]
     payload = rng.integers(0, 500, shape).astype(np.int32)
+    payload[~np.asarray(idx.valid)] = INT_MAX
     qlim = rng.integers(0, 500, shape).astype(np.int32)
     byp = rng.random(shape) < 0.2
     out_x = neighbor_min_sweep(idx, jnp.asarray(payload), es, et,
