@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.grid import digitize_clip
 from ..ops.neighbors import INT_MAX, build_spatial_index, neighbor_core_stats, \
-    neighbor_min_sweep
+    neighbor_min_sweep, neighbor_min_sweep_gated
 from ..ops.tracking import track_sequence
 from .mesh import FRAMES_AXIS
 
@@ -216,6 +216,17 @@ def sharded_tracking_step(
             nbr = neighbor_min_sweep(index, payload, es, et)
             return from_sorted(nbr)
 
+        def sweep_min_gated(flat_labels, acc, tile_changed):
+            """Incremental local sweep (ops/neighbors.py): rescan only
+            candidates in tiles whose labels changed since the last round
+            (halo refreshes included — the caller derives ``tile_changed``
+            from the post-refresh labels), folding minima into the
+            monotone accumulator ``acc`` (sorted space)."""
+            payload = to_sorted(jnp.where(core_all, flat_labels, INT_MAX))
+            acc2 = neighbor_min_sweep_gated(index, payload, es, et, acc,
+                                            tile_changed)
+            return from_sorted(acc2), acc2
+
         # labels are global point indices; any label pointing at a point
         # inside this shard's halo'd window can be chased locally (pointer
         # jumping), collapsing long in-shard chains geometrically instead of
@@ -230,9 +241,17 @@ def sharded_tracking_step(
             return jnp.minimum(
                 lbl_flat, jnp.where(inb, lbl_flat[tgt], lbl_flat))
 
+        num_tiles_l = index.num_tiles
+
+        def tiles_changed_of(new_flat, old_flat):
+            # sorted-tile ids whose labels changed (halo refreshes land
+            # here too, so their candidates rescan next round)
+            diff = to_sorted(new_flat) != to_sorted(old_flat)
+            return jnp.any(diff, axis=1)
+
         def loop_body(state):
-            lbl, _, it = state
-            nbr = sweep_min(lbl)
+            lbl, acc, tchanged, _, it = state
+            nbr, acc2 = sweep_min_gated(lbl, acc, tchanged)
             merged = jnp.minimum(lbl, nbr)
             for _ in range(3):
                 merged = jump(merged)
@@ -243,14 +262,16 @@ def sharded_tracking_step(
             new = jnp.where(core_all, refreshed.reshape(-1), INT_MAX)
             changed = jax.lax.psum(
                 jnp.any(new != lbl).astype(jnp.int32), ax) > 0
-            return new, changed, it + 1
+            return new, acc2, tiles_changed_of(new, lbl), changed, it + 1
 
         def loop_cond(state):
-            _, changed, it = state
-            return changed & (it < max_sweeps)
+            return state[3] & (state[4] < max_sweeps)
 
-        label, still_changing, _ = jax.lax.while_loop(
-            loop_cond, loop_body, (label0, jnp.bool_(True), jnp.int32(0)))
+        acc0 = jnp.full((num_tiles_l, index.tile), INT_MAX, jnp.int32)
+        label, acc_final, _, still_changing, _ = jax.lax.while_loop(
+            loop_cond, loop_body,
+            (label0, acc0, jnp.ones((num_tiles_l,), bool), jnp.bool_(True),
+             jnp.int32(0)))
         converged = ~still_changing
 
         # ---- canonical ranks (global) -----------------------------------
@@ -280,7 +301,11 @@ def sharded_tracking_step(
                 bypass_limit=to_sorted(is_root.astype(jnp.int32)) > 0,
                 use_limit=True))
         else:
-            border_key = sweep_min(label)  # min comp key over core neighbors
+            # the accumulator at convergence IS the full sweep's neighbor
+            # minimum over the final labels (monotone + every decrease
+            # rescanned), i.e. exactly the "always" border key — no extra
+            # full sweep needed
+            border_key = from_sorted(acc_final)
         final_flat = jnp.where(
             core_all, rank[jnp.clip(label, 0, size - 1)],
             jnp.where(pvalid & (border_key < INT_MAX),
