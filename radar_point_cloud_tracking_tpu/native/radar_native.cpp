@@ -22,6 +22,47 @@
 #include <immintrin.h>
 #endif
 
+// 64-byte class masks for the bit-parallel token scan (bit i = byte cur[i]).
+// AVX-512BW produces the 64-bit mask in one compare; the AVX2 fallback
+// stitches two 32-byte movemasks.  Loads must stay within the file: callers
+// guard cur + 64 <= line_end.
+#if defined(__AVX512BW__)
+static inline uint64_t comma_mask64(const char *cur) {
+    __m512i v = _mm512_loadu_si512((const void *)cur);
+    return _mm512_cmpeq_epi8_mask(v, _mm512_set1_epi8(','));
+}
+static inline uint64_t digit_mask64(const char *cur) {
+    // signed compares: bytes >= 0x80 read as negative and fail the range
+    // test, matching the AVX2 cmpgt_epi8 fallback bit-for-bit
+    __m512i v = _mm512_loadu_si512((const void *)cur);
+    return _mm512_cmpgt_epi8_mask(v, _mm512_set1_epi8('0' - 1)) &
+           _mm512_cmpgt_epi8_mask(_mm512_set1_epi8('9' + 1), v);
+}
+#define RADAR_SCAN64 1
+#elif defined(__AVX2__)
+static inline uint64_t comma_mask64(const char *cur) {
+    const __m256i cc = _mm256_set1_epi8(',');
+    __m256i lo = _mm256_loadu_si256((const __m256i *)cur);
+    __m256i hi = _mm256_loadu_si256((const __m256i *)(cur + 32));
+    return (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(lo, cc)) |
+           ((uint64_t)(uint32_t)_mm256_movemask_epi8(
+                _mm256_cmpeq_epi8(hi, cc))
+            << 32);
+}
+static inline uint64_t digit_mask64(const char *cur) {
+    const __m256i d_lo = _mm256_set1_epi8('0' - 1);
+    const __m256i d_hi = _mm256_set1_epi8('9' + 1);
+    __m256i lo = _mm256_loadu_si256((const __m256i *)cur);
+    __m256i hi = _mm256_loadu_si256((const __m256i *)(cur + 32));
+    return (uint32_t)_mm256_movemask_epi8(_mm256_and_si256(
+               _mm256_cmpgt_epi8(lo, d_lo), _mm256_cmpgt_epi8(d_hi, lo))) |
+           ((uint64_t)(uint32_t)_mm256_movemask_epi8(_mm256_and_si256(
+                _mm256_cmpgt_epi8(hi, d_lo), _mm256_cmpgt_epi8(d_hi, hi)))
+            << 32);
+}
+#define RADAR_SCAN64 1
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -364,7 +405,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
       }
     };
 
-#if defined(__AVX2__)
+#if defined(RADAR_SCAN64)
     if (thr_nonneg) {
       // Bit-parallel token scan: 64-byte comma bitmasks; only tokens of
       // length >= 2 become scalar work (a single digit can never exceed
@@ -376,17 +417,8 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
       uint64_t prev_cm = ~0ull;  // line start: a comma precedes q
       const char *cur = q;
       const char *tok_start = q;  // start of the token spanning chunks
-      const __m256i cc = _mm256_set1_epi8(',');
-      const __m256i d_lo = _mm256_set1_epi8('0' - 1);
-      const __m256i d_hi = _mm256_set1_epi8('9' + 1);
       while (b < num_echo && cur + 64 <= line_end) {
-        __m256i lo = _mm256_loadu_si256((const __m256i *)cur);
-        __m256i hi = _mm256_loadu_si256((const __m256i *)(cur + 32));
-        uint64_t cm =
-            (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(lo, cc)) |
-            ((uint64_t)(uint32_t)_mm256_movemask_epi8(
-                 _mm256_cmpeq_epi8(hi, cc))
-             << 32);
+        uint64_t cm = comma_mask64(cur);
         int ncommas = __builtin_popcountll(cm);
         if (b + ncommas >= num_echo) break;  // row tail: finish scalar
         // a token ending at bit i has length >= 2 iff no comma at i-1, i-2
@@ -396,12 +428,8 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
         if (min_len <= 1) cand = cm & ~c1;  // single digits can qualify
         if (cand) {
           // digit-class mask decides all-digits per token with bit ops
-          uint64_t dg =
-              (uint32_t)_mm256_movemask_epi8(_mm256_and_si256(
-                  _mm256_cmpgt_epi8(lo, d_lo), _mm256_cmpgt_epi8(d_hi, lo))) |
-              ((uint64_t)(uint32_t)_mm256_movemask_epi8(_mm256_and_si256(
-                   _mm256_cmpgt_epi8(hi, d_lo), _mm256_cmpgt_epi8(d_hi, hi)))
-               << 32);
+          // (lazy: re-reads the L1-hot 64 bytes only on candidate chunks)
+          uint64_t dg = digit_mask64(cur);
           do {
             int pos = __builtin_ctzll(cand);
             cand &= cand - 1;
