@@ -366,7 +366,11 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
     // numeric parse otherwise) and emit if it is a kept survivor
     auto candidate = [&](const char *ts, const char *te, int bc) {
       long long tl = te - ts;
-      bool plain_int = tl > 0 && tl <= 18 && !(ts[0] == '0' && tl > 1);
+      // <= 7 digits: the integer is exactly float32-representable
+      // (< 2^24), so the integer verdict and stored value are identical
+      // to the reference's float32 compare; longer tokens near the
+      // threshold could round differently and take the numeric path
+      bool plain_int = tl > 0 && tl <= 7 && !(ts[0] == '0' && tl > 1);
       if (plain_int) {
         for (const char *s = ts; s < te; s++) {
           if (*s < '0' || *s > '9') {
@@ -444,7 +448,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
               long long tl = pos - sbit - 1;
               uint64_t span = (((1ull << pos) - 1)
                               & ~((1ull << (sbit + 1)) - 1));
-              if ((dg & span) == span && tl <= 18 &&
+              if ((dg & span) == span && tl <= 7 &&
                   !(ts[0] == '0' && tl > 1)) {
                 bool over =
                     tl > min_len ||
@@ -509,7 +513,7 @@ int parse_radar_points(const char *path, int num_echo, float threshold,
       const char *te = q;
       while (te < line_end && *te != ',') te++;
       long long tl = te - q;
-      bool plain_int = thr_nonneg && tl > 0 && tl <= 18 &&
+      bool plain_int = thr_nonneg && tl > 0 && tl <= 7 &&
                        !(q[0] == '0' && tl > 1);
       if (plain_int) {
         for (const char *s = q; s < te; s++) {

@@ -275,7 +275,7 @@ def core_stats_pallas(
 
 def _make_dma_min_kernel(k_pad: int, tile: int):
     def kernel(count_ref, cand_hbm, fplanes_hbm, iplanes_hbm,
-               qf_ref, qi_ref, eps_ref, out_ref,
+               qf_ref, eps_ref, out_ref,
                cand_smem, fbuf, ibuf, acc, sems, row_sem):
         q = pl.program_id(0)
 
@@ -294,7 +294,6 @@ def _make_dma_min_kernel(k_pad: int, tile: int):
         xq = qf_ref[0, 0]
         yq = qf_ref[0, 1]
         tq = qf_ref[0, 2]
-        vq = qi_ref[0, 0]
 
         def start_fetch(slot, k):
             c = cand_smem[0, k]
@@ -351,9 +350,12 @@ def _make_dma_min_kernel(k_pad: int, tile: int):
 
 
 def _make_dma_stats_kernel(k_pad: int, tile: int):
-    def kernel(count_ref, cand_hbm, fplanes_hbm, iplanes_hbm,
-               qf_ref, qi_ref, eps_ref, deg_ref,
-               cand_smem, fbuf, ibuf, acc, sems, row_sem):
+    # degree needs only the float planes (x, y, t): no payload/validity
+    # stream — the min kernel's second (iplanes) DMA would double this
+    # kernel's HBM traffic for data it never reads
+    def kernel(count_ref, cand_hbm, fplanes_hbm,
+               qf_ref, eps_ref, deg_ref,
+               cand_smem, fbuf, acc, sems, row_sem):
         q = pl.program_id(0)
 
         row = pltpu.make_async_copy(cand_hbm.at[q], cand_smem, row_sem)
@@ -367,21 +369,16 @@ def _make_dma_stats_kernel(k_pad: int, tile: int):
         xq = qf_ref[0, 0]
         yq = qf_ref[0, 1]
         tq = qf_ref[0, 2]
-        vq = qi_ref[0, 0]
 
         def start_fetch(slot, k):
             c = cand_smem[0, k]
             pltpu.make_async_copy(fplanes_hbm.at[c], fbuf.at[slot],
-                                  sems.at[slot, 0]).start()
-            pltpu.make_async_copy(iplanes_hbm.at[c], ibuf.at[slot],
-                                  sems.at[slot, 1]).start()
+                                  sems.at[slot]).start()
 
         def wait_fetch(slot, k):
             c = cand_smem[0, k]
             pltpu.make_async_copy(fplanes_hbm.at[c], fbuf.at[slot],
-                                  sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(iplanes_hbm.at[c], ibuf.at[slot],
-                                  sems.at[slot, 1]).wait()
+                                  sems.at[slot]).wait()
 
         acc[...] = jnp.zeros_like(acc)
 
@@ -432,13 +429,9 @@ def core_stats_pallas_dma(
     zf = jnp.zeros_like(index.times)
     fplanes = jnp.stack([index.coords[..., 0], index.coords[..., 1],
                          index.times, zf, zf, zf, zf, zf], axis=1)
-    zi = jnp.zeros((nt, t), jnp.int32)
-    vi = index.valid.astype(jnp.int32)
-    iplanes = jnp.stack([vi, zi, zi, zi, zi, zi, zi, zi], axis=1)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
 
     q_spec_f = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
-    q_spec_i = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -446,18 +439,15 @@ def core_stats_pallas_dma(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
             q_spec_f,
-            q_spec_i,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, t), lambda q, cnt: (q, 0, 0)),
         scratch_shapes=[
             pltpu.SMEM((1, k_pad), jnp.int32),
             pltpu.VMEM((2, 8, t), jnp.float32),
-            pltpu.VMEM((2, 8, t), jnp.int32),
             pltpu.VMEM((1, t), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -468,7 +458,7 @@ def core_stats_pallas_dma(
         out_shape=jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
         interpret=_interpret(),
     )(index.cand_count, index.cand_idx.reshape(nt, 1, k_pad),
-      fplanes, iplanes, fplanes, iplanes, eps)
+      fplanes, fplanes, eps)
     return deg.reshape(nt, t)
 
 
@@ -497,7 +487,6 @@ def min_sweep_pallas_dma(
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
 
     q_spec_f = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
-    q_spec_i = pl.BlockSpec((1, 8, t), lambda q, cnt: (q, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # cand_count
@@ -507,7 +496,6 @@ def min_sweep_pallas_dma(
             pl.BlockSpec(memory_space=pltpu.HBM),  # fplanes stay in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),  # iplanes stay in HBM
             q_spec_f,  # query f32 planes (pipelined to VMEM)
-            q_spec_i,  # query i32 planes
             pl.BlockSpec(memory_space=pltpu.SMEM),  # eps scalars
         ],
         out_specs=pl.BlockSpec((1, 1, t), lambda q, cnt: (q, 0, 0)),
@@ -527,5 +515,5 @@ def min_sweep_pallas_dma(
         out_shape=jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
         interpret=_interpret(),
     )(index.cand_count, index.cand_idx.reshape(nt, 1, k_pad),
-      fplanes, iplanes, fplanes, iplanes, eps)
+      fplanes, iplanes, fplanes, eps)
     return out.reshape(nt, t)

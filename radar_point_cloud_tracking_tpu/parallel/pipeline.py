@@ -211,11 +211,6 @@ def sharded_tracking_step(
             return jnp.zeros((ft * c,), sorted2d.dtype).at[index.perm].set(
                 sorted2d.reshape(-1)[:ft * c])
 
-        def sweep_min(flat_labels):
-            payload = to_sorted(jnp.where(core_all, flat_labels, INT_MAX))
-            nbr = neighbor_min_sweep(index, payload, es, et)
-            return from_sorted(nbr)
-
         def sweep_min_gated(flat_labels, acc, tile_changed):
             """Incremental local sweep (ops/neighbors.py): rescan only
             candidates in tiles whose labels changed since the last round

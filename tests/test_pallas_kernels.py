@@ -74,3 +74,56 @@ def test_min_sweep_with_limit_matches_xla():
                              bypass_limit=jnp.asarray(byp),
                              use_limit=True)
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_dma_core_stats_matches_xla():
+    """The manual-DMA degree sweep (the hybrid engine's production stats
+    path on TPU, ops/stdbscan.py) must match the XLA engine bit-for-bit on
+    valid slots.  Interpret mode on CPU; Mosaic compiles the same kernel
+    on TPU (on-chip equality asserted by tools/profile_stdbscan.py)."""
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        core_stats_pallas_dma)
+
+    idx = _index(seed=4)
+    es, et = jnp.float32(4.0), jnp.float32(1.0)
+    deg_x, _ = neighbor_core_stats(idx, es, et)
+    deg_p = core_stats_pallas_dma(idx, es, et)
+    v = np.asarray(idx.valid)
+    np.testing.assert_array_equal(np.asarray(deg_p)[v], np.asarray(deg_x)[v])
+
+
+def test_dma_min_sweep_matches_xla():
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        min_sweep_pallas_dma)
+
+    idx = _index(seed=5)
+    es, et = jnp.float32(4.0), jnp.float32(1.0)
+    rng = np.random.default_rng(6)
+    payload = rng.integers(0, 1000, idx.coords.shape[:2]).astype(np.int32)
+    payload[rng.random(payload.shape) < 0.5] = INT_MAX
+    payload[~np.asarray(idx.valid)] = INT_MAX
+    pay = jnp.asarray(payload)
+    out_x = neighbor_min_sweep(idx, pay, es, et)
+    out_p = min_sweep_pallas_dma(idx, pay, es, et)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+def test_dma_kernels_undersized_kpad_clamp():
+    """With an undersized static k_pad the DMA kernels must stay in bounds
+    (clamped loop) — results are then invalid and the caller's overflow
+    check triggers a rebuild; here we only require no crash and agreement
+    with the XLA engine under the SAME truncated candidate table."""
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        core_stats_pallas_dma)
+
+    idx = _index(seed=7)
+    k_small = max(1, idx.cand_idx.shape[1] // 2)
+    idx_small = type(idx)(coords=idx.coords, times=idx.times,
+                          valid=idx.valid, perm=idx.perm,
+                          cand_idx=idx.cand_idx[:, :k_small],
+                          cand_count=idx.cand_count, qorder=idx.qorder)
+    es, et = jnp.float32(4.0), jnp.float32(1.0)
+    deg_x, _ = neighbor_core_stats(idx_small, es, et)
+    deg_p = core_stats_pallas_dma(idx_small, es, et)
+    v = np.asarray(idx.valid)
+    np.testing.assert_array_equal(np.asarray(deg_p)[v], np.asarray(deg_x)[v])

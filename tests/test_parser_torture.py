@@ -62,7 +62,7 @@ CASES = [
     ["", "0", "", "42", " 13", "7 ", "", ""],
     # long runs of zeros with sparse hits (zero-skip boundaries)
     ["0"] * 31 + ["77"] + ["0"] * 40 + ["12"],
-    # long tokens (18 digits = the integer fast-path limit) + padding
+    # long tokens (beyond the 7-digit integer fast path) + padding
     ["123456789012345678", "99999999", "1000000"] + ["0"] * 20,
 ]
 
@@ -115,3 +115,30 @@ def test_crlf_and_wide_rows(tmp_path):
     np.testing.assert_array_equal(rr, orr)
     np.testing.assert_array_equal(bb, obb)
     np.testing.assert_array_equal(vv, ovv)
+
+
+def test_f32_boundary_large_integers(tmp_path):
+    """Integers beyond 2^24 are not exactly float32-representable: the
+    reference compares float32(token) > threshold, so 16777217 does NOT
+    exceed a threshold of 16777216.0 (it rounds to 16777216).  The native
+    integer fast path must defer to the numeric path above 7 digits; an
+    exact-integer verdict here would also shift the stride rank of every
+    later survivor."""
+    tokens = ["16777217", "16777216", "16777219", "33554433",
+              "9999999", "10000001"] + ["0"] * 10 + ["42"]
+    num_echo = len(tokens)
+    lines = ["Status,Scale,Range,Gain,Angle,"
+             + ",".join(f"E{i}" for i in range(num_echo)),
+             "1,496,3,75,0," + ",".join(tokens),
+             "1,496,3,75,16," + ",".join(tokens[::-1])]
+    path = tmp_path / "20250813_142602_000.csv"
+    path.write_text("\n".join(lines) + "\n")
+
+    for threshold, stride in [(16777216.0, 1), (16777216.0, 2),
+                              (9999999.5, 1), (10.0, 3)]:
+        rr, bb, vv, *_ = native.parse_radar_points(
+            path, num_echo, threshold, stride, 64, 1 << 16)
+        orr, obb, ovv, *_o = _numpy_oracle(path, num_echo, threshold, stride)
+        np.testing.assert_array_equal(rr, orr)
+        np.testing.assert_array_equal(bb, obb)
+        np.testing.assert_array_equal(vv, ovv)
