@@ -242,6 +242,185 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
     return total, result
 
 
+DEN_MIN_FRAMES = 2  # denoiser temporal-persistence default
+# (stdbscan_denoising_pipeline.py:68-77: thr 10, stride 4, min_frames 2)
+
+
+def run_cpu_denoise_reference(data_dir: Path, max_frames: int):
+    """Reference-style CPU denoising pipeline: pandas parse -> flat concat
+    with the frame-INDEX time axis (no land filter) -> BallTree ST-DBSCAN
+    with the min_frames persistence core test and the denoiser's
+    scan-order border semantics (stdbscan_denoising_pipeline.py:862-1013)."""
+    import pandas as pd
+
+    import radar_point_cloud_tracking_tpu as rpt
+    from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
+        oracle_convert_sweep, oracle_st_dbscan)
+
+    t0 = time.perf_counter()
+    files_by_gain = rpt.discover_files(data_dir)
+    frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
+
+    coords_l, times_l = [], []
+    for i, ff in enumerate(frame_files):
+        for gain in sorted(ff):
+            df = pd.read_csv(ff[gain], header=None, skiprows=1, engine="c")
+            table = df.fillna(0).to_numpy(np.float32)
+            angles = np.deg2rad(table[:, 4] * np.float32(360.0 / 8196.0))
+            x, y, z = oracle_convert_sweep(table[:, 5:], angles, table[:, 1],
+                                           THRESHOLD, STRIDE)
+            if len(x):
+                coords_l.append(np.column_stack([x, y]))
+                times_l.append(np.full(len(x), i, np.float32))
+    t_load = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    coords = np.concatenate(coords_l)
+    times = np.concatenate(times_l)
+    labels = oracle_st_dbscan(coords, times, EPS_SPACE, EPS_TIME,
+                              MIN_SAMPLES, min_frames=DEN_MIN_FRAMES,
+                              border_mode="if_earlier")
+    t_cluster = time.perf_counter() - t1
+
+    total = time.perf_counter() - t0
+    noise = int(np.sum(labels < 0))
+    log(f"CPU denoise reference [{max_frames} frames]: load={t_load:.1f}s "
+        f"cluster={t_cluster:.1f}s total={total:.1f}s "
+        f"({len(coords):,} pts, "
+        f"{len(np.unique(labels[labels >= 0]))} clusters, "
+        f"{100.0 * noise / max(len(coords), 1):.1f}% noise)")
+    return total, labels
+
+
+def run_tpu_denoise(data_dir: Path, max_frames: int, label: str):
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+    from radar_point_cloud_tracking_tpu.models.denoiser import denoise_frames
+    from radar_point_cloud_tracking_tpu.models.ingest import FrameBatchLoader
+    import radar_point_cloud_tracking_tpu as rpt
+
+    cfg = PipelineConfig()
+    cfg.radar.num_echo_columns = NUM_BINS
+
+    files_by_gain = rpt.discover_files(data_dir)
+    frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
+    loader = FrameBatchLoader(cfg, intensity_threshold=THRESHOLD,
+                              point_stride=STRIDE, verbose=False,
+                              frame_capacity=FRAME_CAP)
+    t0 = time.perf_counter()
+    ingested = loader.load_sequence(frame_files)
+    result = denoise_frames(ingested, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
+                            DEN_MIN_FRAMES, cfg, verbose=False)
+    total = time.perf_counter() - t0
+    log(f"TPU denoise [{label}, {max_frames} frames]: total={total:.1f}s "
+        f"stages={ {k: round(v, 2) for k, v in result.timings.items()} } "
+        f"({result.n_points:,} pts, {result.num_clusters} clusters, "
+        f"{result.stats['noise_reduction_pct']:.1f}% noise)")
+    return total, result
+
+
+def run_denoise_bench():
+    """BENCH_DENOISE=1 mode: the denoising flagship
+    (stdbscan_denoising_pipeline.py) as a recorded artifact — same
+    median-vs-median protocol as the tracker headline.
+
+    Exactness protocol: without the land filter the reference BFS is
+    SUPERLINEAR in frames (land cells stay occupied in every frame, so
+    spatial neighbor lists grow with the sequence): the measured 6-frame
+    oracle run takes ~450 s and 100 frames extrapolate to ~35 HOURS, so a
+    full-sequence oracle record is infeasible here.  Instead (a) the
+    CPU-measured prefix (default 6 frames, 568k points) is asserted
+    bit-exact against the oracle, and (b) the full-sequence device
+    labeling is regression-checked against a committed record (the
+    envelope pattern, run_envelope)."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+
+    num_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    cpu_frames = min(int(os.environ.get("BENCH_CPU_FRAMES", "6")),
+                     num_frames)
+    cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
+    tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "3")))
+
+    t0 = time.perf_counter()
+    np.asarray(jnp.ones(8))
+    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+    data_dir = _dataset(num_frames)
+
+    _, prefix_result = run_tpu_denoise(data_dir, cpu_frames, "prefix")
+    cpu_times = []
+    for _ in range(cpu_repeats):
+        t, cpu_labels = run_cpu_denoise_reference(data_dir, cpu_frames)
+        cpu_times.append(t)
+    cpu_time = float(np.median(cpu_times))
+    log(f"CPU denoise median of {cpu_repeats}: {cpu_time:.1f}s "
+        f"(runs: {[round(t, 1) for t in cpu_times]})")
+    match = bool(np.array_equal(prefix_result.labels, cpu_labels))
+    log(f"exact-match on {cpu_frames}-frame prefix: labels={match} "
+        f"({prefix_result.num_clusters} clusters)")
+
+    run_tpu_denoise(data_dir, num_frames, "warmup")
+    tpu_runs = [run_tpu_denoise(data_dir, num_frames,
+                                f"measured {r + 1}/{tpu_repeats}")
+                for r in range(tpu_repeats)]
+    tpu_times = [t for t, _ in tpu_runs]
+    order = int(np.argsort(tpu_times, kind="stable")[len(tpu_times) // 2])
+    tpu_time = tpu_times[order]
+    full_result = tpu_runs[order][1]
+    log(f"TPU denoise median of {tpu_repeats}: {tpu_time:.2f}s "
+        f"(runs: {[round(t, 2) for t in tpu_times]})")
+
+    # full-sequence regression record (device labels; validity rests on the
+    # oracle-exact prefix above + the engine equivalence suite) — the pull
+    # happens after the timers stop
+    got_hash = hashlib.sha256(np.ascontiguousarray(
+        full_result.labels.astype(np.int32))).hexdigest()
+    rec_path = RECORDS_DIR / _dataset_sig(num_frames) / \
+        f"denoise_f{num_frames}_regression.json"
+    rec_match = None
+    if rec_path.exists():
+        rec = json.loads(rec_path.read_text())
+        rec_match = bool(
+            got_hash == rec["labels_sha256"]
+            and full_result.num_clusters == rec["num_clusters"]
+            and full_result.stats["noise_points"] == rec["noise_points"])
+        log(f"full-sequence labels match committed record: {rec_match} "
+            f"({rec['num_clusters']} clusters)")
+    else:
+        rec_path.parent.mkdir(parents=True, exist_ok=True)
+        rec_path.write_text(json.dumps({
+            "labels_sha256": got_hash,
+            "num_points": int(full_result.n_points),
+            "num_clusters": int(full_result.num_clusters),
+            "noise_points": int(full_result.stats["noise_points"]),
+        }))
+        log(f"wrote new denoise regression record {rec_path} (commit it)")
+
+    tpu_fps = num_frames / tpu_time
+    cpu_fps = cpu_frames / cpu_time
+    out = {
+        "metric": "denoising pipeline frames/sec end-to-end "
+                  f"(ST-DBSCAN min_frames={DEN_MIN_FRAMES}), "
+                  f"{num_frames}-frame multi-gain {NUM_ROWS}x{NUM_BINS} "
+                  f"sequence; exact_match={match}",
+        "value": round(tpu_fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+        "noise_reduction_pct": round(
+            full_result.stats["noise_reduction_pct"], 2),
+        "env": {
+            "host_cores": os.cpu_count(),
+            "backend": jax.default_backend(),
+            "tpu_times_s": [round(t, 2) for t in tpu_times],
+            "cpu_times_s": [round(t, 1) for t in cpu_times],
+        },
+    }
+    if rec_match is not None:
+        out["labels_match_committed_record"] = rec_match
+    print(json.dumps(out))
+
+
 def _envelope_ply(path: Path, n_points: int = 10_000_000,
                   seed: int = 11) -> Path:
     """Deterministic 10M-point clustering scene at the reference's documented
@@ -490,5 +669,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_ENVELOPE"):
         run_envelope()
+    elif os.environ.get("BENCH_DENOISE"):
+        run_denoise_bench()
     else:
         main()

@@ -33,14 +33,35 @@ __all__ = ["DenoiseResult", "run_denoising_pipeline"]
 
 @dataclass
 class DenoiseResult:
-    points: np.ndarray  # (N, 6) x, y, intensity, frame_local, frame_id, gain
-    labels: np.ndarray  # (N,)
+    """Clustered sequence with LAZY host materialization: the padded point
+    buffer is hundreds of MB at the 10M-point scale and this rig's tunnel
+    moves ~17 MB/s, so ``points``/``labels`` stay on device until a consumer
+    (PLY writers, plots) actually dereferences them — callers that only need
+    stats/cluster tables never pay the bulk d2h (same discipline as
+    TrackingResult, models/tracker.py)."""
+
+    points_dev: jnp.ndarray  # (cap, 6) x, y, intensity, local, frame_id, gain
+    labels_dev: jnp.ndarray  # (cap,)
     n_points: int
     num_clusters: int
     stats: Dict[str, float]
     cluster_table: List[dict]
     frame_ids: np.ndarray
     timings: Dict[str, float] = field(default_factory=dict)
+    _points_np: Optional[np.ndarray] = field(default=None, repr=False)
+    _labels_np: Optional[np.ndarray] = field(default=None, repr=False)
+
+    @property
+    def points(self) -> np.ndarray:
+        if self._points_np is None:
+            self._points_np = np.asarray(self.points_dev)[:self.n_points]
+        return self._points_np
+
+    @property
+    def labels(self) -> np.ndarray:
+        if self._labels_np is None:
+            self._labels_np = np.asarray(self.labels_dev)[:self.n_points]
+        return self._labels_np
 
     @property
     def signal_mask(self) -> np.ndarray:
@@ -131,8 +152,8 @@ def denoise_frames(
             points[:, :2], points[:, 2], labels, pvalid, num_clusters)
 
     return DenoiseResult(
-        points=np.asarray(points)[:n_points],
-        labels=np.asarray(labels)[:n_points],
+        points_dev=points,
+        labels_dev=labels,
         n_points=n_points,
         num_clusters=num_clusters,
         stats=stats,
