@@ -50,7 +50,8 @@ THRESHOLD, STRIDE = 10.0, 4
 NUM_ROWS = int(os.environ.get("BENCH_ROWS", "2048"))
 NUM_BINS = int(os.environ.get("BENCH_BINS", "1024"))
 NOISE_RATE = float(os.environ.get("BENCH_NOISE", "0.008"))
-FRAME_CAP = int(os.environ.get("BENCH_FRAME_CAP", "131072"))
+DEFAULT_FRAME_CAP = 131072
+FRAME_CAP = int(os.environ.get("BENCH_FRAME_CAP", str(DEFAULT_FRAME_CAP)))
 
 
 def log(msg):
@@ -99,19 +100,20 @@ def _dataset(num_frames: int) -> Path:
     return data_dir
 
 
-def run_cpu_reference(data_dir: Path, max_frames: int):
-    """Reference-style CPU pipeline (pandas + BallTree + BFS + scipy)."""
+def _cpu_parse_frames(data_dir: Path, max_frames: int):
+    """The reference parse recipe (pandas read_csv + fillna + the
+    4_temporal_object_tracker.py:184-232 conversion), shared by BOTH CPU
+    denominators so a parse fix cannot skew one benchmark and not the other.
+    Runs INSIDE the callers' timed regions.  Returns [(frame_idx, (n, 3)
+    x/y/z array)] with empty frames skipped but original indices kept."""
     import pandas as pd
 
     import radar_point_cloud_tracking_tpu as rpt
     from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
-        OracleTracker, oracle_convert_sweep, oracle_st_dbscan,
-        oracle_filter_land, oracle_land_mask, oracle_occupancy_grid)
+        oracle_convert_sweep)
 
-    t0 = time.perf_counter()
     files_by_gain = rpt.discover_files(data_dir)
     frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
-
     frames = []
     for i, ff in enumerate(frame_files):
         xs = []
@@ -125,6 +127,17 @@ def run_cpu_reference(data_dir: Path, max_frames: int):
                 xs.append(np.column_stack([x, y, z]))
         if xs:
             frames.append((i, np.concatenate(xs)))
+    return frames
+
+
+def run_cpu_reference(data_dir: Path, max_frames: int):
+    """Reference-style CPU pipeline (pandas + BallTree + BFS + scipy)."""
+    from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
+        OracleTracker, oracle_st_dbscan,
+        oracle_filter_land, oracle_land_mask, oracle_occupancy_grid)
+
+    t0 = time.perf_counter()
+    frames = _cpu_parse_frames(data_dir, max_frames)
     t_load = time.perf_counter() - t0
 
     t1 = time.perf_counter()
@@ -242,6 +255,41 @@ def run_tpu(data_dir: Path, max_frames: int, label: str):
     return total, result
 
 
+def _measure_tpu_median(run_fn, repeats: int):
+    """Measured reps with the element-median protocol shared by every mode.
+
+    Returns (median_time, all_times, last_result).  Only the LAST rep's
+    result is retained — each result pins padded device buffers (hundreds of
+    MB at bench scale) and labels/stats are deterministic across reps, so
+    holding every rep alive would only add allocator pressure to the very
+    runs being timed.  The median is the middle ELEMENT (upper-middle for
+    even counts), not an average, so the recorded time is a real run."""
+    times = []
+    result = None
+    for r in range(repeats):
+        t, result = run_fn(f"measured {r + 1}/{repeats}")
+        times.append(t)
+    order = int(np.argsort(times, kind="stable")[len(times) // 2])
+    return times[order], times, result
+
+
+def _regression_record(rec_path: Path, payload: dict, check_keys) -> bool | None:
+    """Compare `payload` against a committed record, or write the first one.
+
+    Returns the comparison verdict, or None when a new record was written
+    (the log tells the operator to commit it)."""
+    if rec_path.exists():
+        rec = json.loads(rec_path.read_text())
+        ok = all(rec.get(k) == payload[k] for k in check_keys)
+        log(f"labels match committed record {rec_path.name}: {ok} "
+            f"({rec.get('num_clusters')} recorded clusters)")
+        return ok
+    rec_path.parent.mkdir(parents=True, exist_ok=True)
+    rec_path.write_text(json.dumps(payload))
+    log(f"wrote new regression record {rec_path} (commit it)")
+    return None
+
+
 DEN_MIN_FRAMES = 2  # denoiser temporal-persistence default
 # (stdbscan_denoising_pipeline.py:68-77: thr 10, stride 4, min_frames 2)
 
@@ -251,32 +299,21 @@ def run_cpu_denoise_reference(data_dir: Path, max_frames: int):
     with the frame-INDEX time axis (no land filter) -> BallTree ST-DBSCAN
     with the min_frames persistence core test and the denoiser's
     scan-order border semantics (stdbscan_denoising_pipeline.py:862-1013)."""
-    import pandas as pd
-
-    import radar_point_cloud_tracking_tpu as rpt
     from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
-        oracle_convert_sweep, oracle_st_dbscan)
+        oracle_st_dbscan)
 
     t0 = time.perf_counter()
-    files_by_gain = rpt.discover_files(data_dir)
-    frame_files = rpt.group_files_by_frame(files_by_gain)[:max_frames]
-
-    coords_l, times_l = [], []
-    for i, ff in enumerate(frame_files):
-        for gain in sorted(ff):
-            df = pd.read_csv(ff[gain], header=None, skiprows=1, engine="c")
-            table = df.fillna(0).to_numpy(np.float32)
-            angles = np.deg2rad(table[:, 4] * np.float32(360.0 / 8196.0))
-            x, y, z = oracle_convert_sweep(table[:, 5:], angles, table[:, 1],
-                                           THRESHOLD, STRIDE)
-            if len(x):
-                coords_l.append(np.column_stack([x, y]))
-                times_l.append(np.full(len(x), i, np.float32))
+    frames = _cpu_parse_frames(data_dir, max_frames)
     t_load = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    coords = np.concatenate(coords_l)
-    times = np.concatenate(times_l)
+    if frames:
+        coords = np.concatenate([p[:, :2] for _, p in frames])
+        times = np.concatenate([np.full(len(p), i, np.float32)
+                                for i, p in frames])
+    else:
+        coords = np.empty((0, 2), np.float32)
+        times = np.empty((0,), np.float32)
     labels = oracle_st_dbscan(coords, times, EPS_SPACE, EPS_TIME,
                               MIN_SAMPLES, min_frames=DEN_MIN_FRAMES,
                               border_mode="if_earlier")
@@ -310,6 +347,12 @@ def run_tpu_denoise(data_dir: Path, max_frames: int, label: str):
     ingested = loader.load_sequence(frame_files)
     result = denoise_frames(ingested, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
                             DEN_MIN_FRAMES, cfg, verbose=False)
+    # the denoiser's deliverable IS the per-point labeling and the CPU
+    # denominator ends with labels in host memory, so the numerator pays the
+    # same d2h before the timer stops (~38 MB at bench scale through this
+    # rig's ~17 MB/s tunnel).  Coordinates already passed through host memory
+    # during the parse, so labels are the only asymmetric pull.
+    _ = result.labels
     total = time.perf_counter() - t0
     log(f"TPU denoise [{label}, {max_frames} frames]: total={total:.1f}s "
         f"stages={ {k: round(v, 2) for k, v in result.timings.items()} } "
@@ -361,41 +404,29 @@ def run_denoise_bench():
         f"({prefix_result.num_clusters} clusters)")
 
     run_tpu_denoise(data_dir, num_frames, "warmup")
-    tpu_runs = [run_tpu_denoise(data_dir, num_frames,
-                                f"measured {r + 1}/{tpu_repeats}")
-                for r in range(tpu_repeats)]
-    tpu_times = [t for t, _ in tpu_runs]
-    order = int(np.argsort(tpu_times, kind="stable")[len(tpu_times) // 2])
-    tpu_time = tpu_times[order]
-    full_result = tpu_runs[order][1]
+    tpu_time, tpu_times, full_result = _measure_tpu_median(
+        lambda lbl: run_tpu_denoise(data_dir, num_frames, lbl), tpu_repeats)
     log(f"TPU denoise median of {tpu_repeats}: {tpu_time:.2f}s "
         f"(runs: {[round(t, 2) for t in tpu_times]})")
 
     # full-sequence regression record (device labels; validity rests on the
-    # oracle-exact prefix above + the engine equivalence suite) — the pull
-    # happens after the timers stop
-    got_hash = hashlib.sha256(np.ascontiguousarray(
-        full_result.labels.astype(np.int32))).hexdigest()
-    rec_path = RECORDS_DIR / _dataset_sig(num_frames) / \
-        f"denoise_f{num_frames}_regression.json"
+    # oracle-exact prefix above + the engine equivalence suite).  A
+    # nonstandard frame cap legitimately changes the labeling, so the record
+    # is only checked/written at the default cap.
     rec_match = None
-    if rec_path.exists():
-        rec = json.loads(rec_path.read_text())
-        rec_match = bool(
-            got_hash == rec["labels_sha256"]
-            and full_result.num_clusters == rec["num_clusters"]
-            and full_result.stats["noise_points"] == rec["noise_points"])
-        log(f"full-sequence labels match committed record: {rec_match} "
-            f"({rec['num_clusters']} clusters)")
+    if FRAME_CAP != DEFAULT_FRAME_CAP:
+        log("nonstandard BENCH_FRAME_CAP: regression record skipped")
     else:
-        rec_path.parent.mkdir(parents=True, exist_ok=True)
-        rec_path.write_text(json.dumps({
-            "labels_sha256": got_hash,
-            "num_points": int(full_result.n_points),
-            "num_clusters": int(full_result.num_clusters),
-            "noise_points": int(full_result.stats["noise_points"]),
-        }))
-        log(f"wrote new denoise regression record {rec_path} (commit it)")
+        got_hash = hashlib.sha256(np.ascontiguousarray(
+            full_result.labels.astype(np.int32))).hexdigest()
+        rec_match = _regression_record(
+            RECORDS_DIR / _dataset_sig(num_frames)
+            / f"denoise_f{num_frames}_regression.json",
+            {"labels_sha256": got_hash,
+             "num_points": int(full_result.n_points),
+             "num_clusters": int(full_result.num_clusters),
+             "noise_points": int(full_result.stats["noise_points"])},
+            ("labels_sha256", "num_clusters", "noise_points"))
 
     tpu_fps = num_frames / tpu_time
     cpu_fps = cpu_frames / cpu_time
@@ -522,19 +553,11 @@ def run_envelope():
     # regression record: committed labels hash for the full 10M labeling
     sha = hashlib.sha256(
         np.ascontiguousarray(labels.astype(np.int32))).hexdigest()
-    rec_path = RECORDS_DIR / "envelope_10m_v2.json"
-    sha_match = None
-    if rec_path.exists():
-        rec = json.loads(rec_path.read_text())
-        sha_match = bool(rec["labels_sha256"] == sha
-                         and rec["num_clusters"] == num_clusters)
-        log(f"labels match committed record: {sha_match}")
-    else:
-        rec_path.parent.mkdir(parents=True, exist_ok=True)
-        rec_path.write_text(json.dumps(
-            {"labels_sha256": sha, "num_clusters": num_clusters,
-             "num_points": int(cloud.size)}))
-        log(f"wrote new envelope record {rec_path} (commit it)")
+    sha_match = _regression_record(
+        RECORDS_DIR / "envelope_10m_v2.json",
+        {"labels_sha256": sha, "num_clusters": num_clusters,
+         "num_points": int(cloud.size)},
+        ("labels_sha256", "num_clusters"))
 
     out = {
         "metric": "10M-point ST-DBSCAN clustering envelope "
@@ -599,13 +622,8 @@ def main():
     # denominator — a single rep is hostage to host/tunnel noise)
     tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "3")))
     run_tpu(data_dir, num_frames, "warmup")
-    tpu_runs = [run_tpu(data_dir, num_frames, f"measured {r + 1}/"
-                        f"{tpu_repeats}")
-                for r in range(tpu_repeats)]
-    tpu_times = [t for t, _ in tpu_runs]
-    order = int(np.argsort(tpu_times, kind="stable")[len(tpu_times) // 2])
-    tpu_time = tpu_times[order]
-    full_result = tpu_runs[order][1]
+    tpu_time, tpu_times, full_result = _measure_tpu_median(
+        lambda lbl: run_tpu(data_dir, num_frames, lbl), tpu_repeats)
     log(f"TPU median of {tpu_repeats}: {tpu_time:.2f}s "
         f"(runs: {[round(t, 2) for t in tpu_times]})")
 
@@ -616,6 +634,11 @@ def main():
     full_match = None
     oracle_full = _record_path(data_dir.name, f"oracle_f{num_frames}.json",
                                data_dir)
+    if FRAME_CAP != DEFAULT_FRAME_CAP:
+        # a nonstandard cap truncates per-frame points, so a mismatch against
+        # the committed record would be expected, not a regression
+        log("nonstandard BENCH_FRAME_CAP: full-sequence oracle check skipped")
+        oracle_full = None
     if oracle_full is not None:
         import hashlib
         rec = json.loads(oracle_full.read_text())

@@ -40,8 +40,11 @@ class DenoiseResult:
     stats/cluster tables never pay the bulk d2h (same discipline as
     TrackingResult, models/tracker.py)."""
 
-    points_dev: jnp.ndarray  # (cap, 6) x, y, intensity, local, frame_id, gain
-    labels_dev: jnp.ndarray  # (cap,)
+    # repr=False on the device fields: dataclass __repr__ would otherwise
+    # print the jax arrays, forcing the very bulk d2h this class avoids
+    points_dev: jnp.ndarray = field(
+        repr=False)  # (cap, 6) x, y, intensity, local, frame_id, gain
+    labels_dev: jnp.ndarray = field(repr=False)  # (cap,)
     n_points: int
     num_clusters: int
     stats: Dict[str, float]

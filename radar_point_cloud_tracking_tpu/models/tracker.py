@@ -60,14 +60,19 @@ class TrackingResult:
     ``labels``/``points`` pull from device lazily (d2h transfers through the
     tunnel are expensive; many callers only need the track summaries)."""
 
-    ingested: IngestedFrames
-    labels_dev: object  # (cap,) device labels over the tight buffer
-    points_dev: object  # (cap, 6) x, y, intensity, frame_local, frame_id, gain
+    # repr=False on device-holding fields: dataclass __repr__ would otherwise
+    # print the jax arrays, forcing the bulk d2h the lazy properties avoid
+    ingested: IngestedFrames = field(repr=False)
+    labels_dev: object = field(repr=False)  # (cap,) labels, tight buffer
+    points_dev: object = field(
+        repr=False)  # (cap, 6) x, y, intensity, frame_local, frame_id, gain
     n_points: int
     num_clusters: int
     state: TrackerState  # final tracker state (numpy leaves)
-    records_dev: dict  # per-frame tracking records (device or numpy leaves)
-    cluster_stats_dev: object  # per-frame compacted ClusterStats (device)
+    records_dev: dict = field(
+        repr=False)  # per-frame tracking records (device or numpy leaves)
+    cluster_stats_dev: object = field(
+        repr=False)  # per-frame compacted ClusterStats (device)
     land_cells: int = 0
     land_points_removed: int = 0
     timings: Dict[str, float] = field(default_factory=dict)

@@ -99,3 +99,10 @@ def test_denoise_full_pipeline_artifacts(gain_dataset, tmp_path):
     assert raw.size == result.stats["total_points"]
     den = rpt.load_ply(out / "denoised_point_cloud.ply")
     assert den.size == result.stats["signal_points"]
+
+
+def test_denoise_result_repr_skips_device_buffers(denoise_result):
+    # dataclass __repr__ must not format the device arrays (that would force
+    # the bulk d2h the lazy properties exist to avoid)
+    r = repr(denoise_result)
+    assert "points_dev" not in r and "labels_dev" not in r

@@ -348,3 +348,12 @@ def test_host_land_prefilter_matches_device_path(gain_dataset):
     assert dev.objects_rows() == pre.objects_rows()
     assert dev.land_points_removed == pre.land_points_removed
     assert dev.land_cells == pre.land_cells
+
+
+def test_tracking_result_repr_skips_device_buffers(device_result):
+    # dataclass __repr__ must not format the device-side buffers (it would
+    # force the bulk d2h the lazy properties exist to avoid)
+    r = repr(device_result)
+    for name in ("points_dev", "labels_dev", "records_dev",
+                 "cluster_stats_dev", "ingested"):
+        assert name not in r
