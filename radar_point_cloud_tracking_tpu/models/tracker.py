@@ -615,7 +615,7 @@ class TrackingPipeline:
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
-                k_pad=k_hint)
+                k_pad=k_hint, premerge=cfg.clustering.premerge)
             while True:
                 labels, num_clusters = cluster_index(
                     index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -637,7 +637,8 @@ class TrackingPipeline:
                     index = build_spatial_index(
                         points[:, :2], points[:, 4], pvalid, eps_space,
                         eps_time, tile=tile_sz,
-                        cell_size=cfg.clustering.cell_size)
+                        cell_size=cfg.clustering.cell_size,
+                        premerge=cfg.clustering.premerge)
                     continue
                 break
             # pow2 bucket keeps K (a compiled shape) stable across runs

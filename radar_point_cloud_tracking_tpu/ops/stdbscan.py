@@ -303,6 +303,7 @@ def st_dbscan_device(
     cell_size: Optional[float] = None,
     max_sweeps: int = 256,
     use_pallas: bool = False,
+    premerge: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full device ST-DBSCAN over a padded point buffer.
 
@@ -311,7 +312,8 @@ def st_dbscan_device(
     noise/padding -1, num_clusters).
     """
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
-                                tile=tile, cell_size=cell_size)
+                                tile=tile, cell_size=cell_size,
+                                premerge=premerge)
     n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -356,6 +358,20 @@ def cluster_index(
 
     perm2d, inv = _perm2d_and_inv(index, core)
     label0 = jnp.where(core, perm2d, INT_MAX)
+    if index.group_id is not None:
+        # Pre-merge seeding: all core points in one group (eps/2 subcell x
+        # eps_time/2 bucket, see build_spatial_index) are mutual
+        # ST-neighbors, hence in one component — they may start from the
+        # group's minimum core index instead of their own.  The fixpoint is
+        # unchanged (labels stay indices of cores in the same component,
+        # >= the component key), but dense blobs begin with ~1 label per
+        # subcell-bucket instead of 1 per point, buying a free contraction
+        # level before round 1's sweep.
+        n_sorted = label0.size
+        gid = index.group_id.reshape(-1)
+        gmin = jnp.full((n_sorted,), INT_MAX, jnp.int32).at[gid].min(
+            label0.reshape(-1), mode="drop")
+        label0 = jnp.where(core, gmin[gid].reshape(label0.shape), INT_MAX)
 
     # Incremental frontier loop: propagation is monotone, so each round
     # rescans only candidates in tiles whose labels changed last round,
@@ -469,5 +485,6 @@ def st_dbscan(
         jnp.ones((n,), bool), eps_space, eps_time, min_samples,
         min_frames=min_frames, border_mode=border_mode, tile=tile,
         cell_size=config.cell_size if config else None,
-        max_sweeps=config.max_label_sweeps if config else 256)
+        max_sweeps=config.max_label_sweeps if config else 256,
+        premerge=config.premerge if config else False)
     return np.asarray(labels)
