@@ -72,30 +72,54 @@ def _perm2d_and_inv(index: SpatialIndex,
     return perm2d.reshape(num_tiles, tile), inv
 
 
+def _jump_pass(flat: jnp.ndarray, ls: jnp.ndarray,
+               n_sorted: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One pointer-jump pass on the (label, label-slot) pair representation.
+
+    ``ls[i]`` is the sorted-slot index of the point whose ORIGINAL index is
+    ``flat[i]`` (sentinel ``n_sorted`` when ``flat[i] == INT_MAX``), so a
+    jump is ONE row gather from the stacked pair table — no inv-permutation
+    gather and no gather->gather dependency chain (the chained form measured
+    ~50 ms per pass at 1.5M points; the row gather reads the same bytes in
+    a single independent op)."""
+    pair = jnp.stack([flat, ls], axis=1)
+    g = pair[jnp.clip(ls, 0, n_sorted - 1)]
+    jl, js = g[:, 0], g[:, 1]
+    better = (flat < INT_MAX) & (jl < flat)
+    return jnp.where(better, jl, flat), jnp.where(better, js, ls)
+
+
+def _refresh_slots(flat_new: jnp.ndarray, flat_old: jnp.ndarray,
+                   ls_old: jnp.ndarray, inv: jnp.ndarray,
+                   n_sorted: int) -> jnp.ndarray:
+    """Re-derive label slots after a sweep/hook changed some labels: one
+    inv gather per ROUND (instead of one per jump pass), selected only
+    where the label actually moved."""
+    n_orig = inv.shape[0]
+    fresh = inv[jnp.clip(flat_new, 0, n_orig - 1)]
+    ls = jnp.where(flat_new == flat_old, ls_old, fresh)
+    return jnp.where(flat_new < INT_MAX, ls, n_sorted)
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def _cc_step(
     index: SpatialIndex,
     label: jnp.ndarray,
+    lslot: jnp.ndarray,
     core: jnp.ndarray,
     inv: jnp.ndarray,
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
     use_pallas: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One propagation round: neighbor-min sweep + grandparent hooking +
     pointer jumps.  Labels are ORIGINAL point indices, so the fixpoint label
-    is directly the component key (min original core index).  Returns
-    (new labels, this round's raw neighbor minima, changed?)."""
+    is directly the component key (min original core index); ``lslot``
+    carries each label's sorted slot so jump passes are single row gathers
+    (see :func:`_jump_pass`).  Returns (new labels, new label slots, this
+    round's raw neighbor minima, changed?)."""
     n_sorted = label.size
-    n_orig = inv.shape[0]
     sweep = _min_sweep_impl(use_pallas)
-
-    def jump(lbl):
-        # labels are original indices; inv maps them back to sorted slots
-        flat = lbl.reshape(-1)
-        tgt = inv[jnp.clip(flat, 0, n_orig - 1)]
-        jumped = jnp.where(flat < INT_MAX, flat[tgt], INT_MAX)
-        return jnp.minimum(flat, jumped).reshape(lbl.shape)
 
     payload = jnp.where(core, label, INT_MAX)
     nbr_min = sweep(index, payload, eps_space, eps_time)
@@ -105,36 +129,40 @@ def _cc_step(
     # minimum onto its current root slot, so a basin's representative learns
     # in one sweep what any member saw.  Without this, adjacent ids make
     # label chains descend in unit steps and clutter snakes take tens of
-    # sweeps (41 observed) instead of a handful (5).
-    flat_old = payload.reshape(-1)
-    tgt = jnp.where(flat_old < INT_MAX,
-                    inv[jnp.clip(flat_old, 0, n_orig - 1)], n_sorted)
+    # sweeps (41 observed) instead of a handful (5).  The hook target IS
+    # the maintained label slot — no inv gather here.
+    tgt = jnp.where(payload.reshape(-1) < INT_MAX, lslot.reshape(-1),
+                    n_sorted)
     vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
     root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
         vals, mode="drop")[:n_sorted]
     new = jnp.minimum(new, jnp.where(core, root_min.reshape(new.shape),
                                      INT_MAX))
+    flat = new.reshape(-1)
+    ls = _refresh_slots(flat, payload.reshape(-1), lslot.reshape(-1), inv,
+                        n_sorted)
 
     # Pointer-jump to fixpoint: each round halves chain lengths; jumps are
     # dense gathers (cheap), sweeps are not.
     def jump_until(state):
-        lbl, changed, it = state
-        j = jump(lbl)
-        return j, jnp.any(j != lbl), it + 1
+        f, s, changed, it = state
+        f2, s2 = _jump_pass(f, s, n_sorted)
+        return f2, s2, jnp.any(f2 != f), it + 1
 
     def jump_cond(state):
-        _, changed, it = state
-        return changed & (it < 16)
+        return state[2] & (state[3] < 16)
 
-    new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
-                                   (new, jnp.bool_(True), jnp.int32(0)))
-    return new, nbr_min, jnp.any(new != label)
+    flat, ls, _, _ = jax.lax.while_loop(
+        jump_cond, jump_until, (flat, ls, jnp.bool_(True), jnp.int32(0)))
+    new = flat.reshape(label.shape)
+    return new, ls.reshape(label.shape), nbr_min, jnp.any(new != label)
 
 
 @functools.partial(jax.jit, static_argnames=("jump_cap",))
 def _cc_step_gated(
     index: SpatialIndex,
     label: jnp.ndarray,
+    lslot: jnp.ndarray,
     core: jnp.ndarray,
     inv: jnp.ndarray,
     acc: jnp.ndarray,
@@ -142,40 +170,37 @@ def _cc_step_gated(
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
     jump_cap: int = 2,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Incremental :func:`_cc_step`: the neighbor-min sweep rescans only
     candidates in changed tiles (see neighbor_min_sweep_gated); hooking and
     pointer jumps are identical.  ``acc`` carries the monotone per-point
     neighbor minima across rounds and equals the full sweep's result."""
     n_sorted = label.size
-    n_orig = inv.shape[0]
-
-    def jump(lbl):
-        flat = lbl.reshape(-1)
-        tgt = inv[jnp.clip(flat, 0, n_orig - 1)]
-        jumped = jnp.where(flat < INT_MAX, flat[tgt], INT_MAX)
-        return jnp.minimum(flat, jumped).reshape(lbl.shape)
+    shape = label.shape
 
     payload = jnp.where(core, label, INT_MAX)
     nbr_min = neighbor_min_sweep_gated(index, payload, eps_space, eps_time,
                                        acc, tile_changed)
     direct = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
-    sweep_changed = jnp.any(direct != jnp.where(core, label, INT_MAX))
+    sweep_changed = jnp.any(direct != payload)
 
-    def converge(lbl):
-        flat_old = payload.reshape(-1)
-        tgt = jnp.where(flat_old < INT_MAX,
-                        inv[jnp.clip(flat_old, 0, n_orig - 1)], n_sorted)
+    def converge(args):
+        lbl, ls_old = args
+        tgt = jnp.where(payload.reshape(-1) < INT_MAX,
+                        ls_old.reshape(-1), n_sorted)
         vals = jnp.where(core, nbr_min, INT_MAX).reshape(-1)
         root_min = jnp.full((n_sorted + 1,), INT_MAX, jnp.int32).at[tgt].min(
             vals, mode="drop")[:n_sorted]
-        new = jnp.minimum(lbl, jnp.where(core, root_min.reshape(lbl.shape),
+        new = jnp.minimum(lbl, jnp.where(core, root_min.reshape(shape),
                                          INT_MAX))
+        flat = new.reshape(-1)
+        ls = _refresh_slots(flat, payload.reshape(-1), ls_old.reshape(-1),
+                            inv, n_sorted)
 
         def jump_until(state):
-            l, changed, it = state
-            j = jump(l)
-            return j, jnp.any(j != l), it + 1
+            f, s, changed, it = state
+            f2, s2 = _jump_pass(f, s, n_sorted)
+            return f2, s2, jnp.any(f2 != f), it + 1
 
         def jump_cond(state):
             # capped passes per round (default 2): each pass halves chain
@@ -183,12 +208,16 @@ def _cc_step_gated(
             # no-change round is still a sound global fixpoint test — one
             # identity pass implies jump fixpoint); uncapped detection
             # passes cost a full dense pass each
-            _, changed, it = state
-            return changed & (it < jump_cap)
+            return state[2] & (state[3] < jump_cap)
 
-        new, _, _ = jax.lax.while_loop(jump_cond, jump_until,
-                                       (new, jnp.bool_(True), jnp.int32(0)))
-        return new
+        flat, ls, _, _ = jax.lax.while_loop(
+            jump_cond, jump_until, (flat, ls, jnp.bool_(True), jnp.int32(0)))
+        return flat.reshape(shape), ls.reshape(shape)
+
+    def quiescent_jump(args):
+        lbl, ls_old = args
+        f, s = _jump_pass(lbl.reshape(-1), ls_old.reshape(-1), n_sorted)
+        return f.reshape(shape), s.reshape(shape)
 
     # Hooking only matters when the sweep decreased some label: with
     # nbr_min_i >= label_i everywhere, root_min >= the root's own label
@@ -198,8 +227,9 @@ def _cc_step_gated(
     # rounds must still collapse, and the exit test stays sound: the loop
     # only stops when the sweep is quiescent AND that jump is an identity,
     # i.e. every label already names a root.
-    new = jax.lax.cond(sweep_changed, converge, jump, direct)
-    return new, nbr_min, jnp.any(new != label)
+    new, ls_new = jax.lax.cond(sweep_changed, converge, quiescent_jump,
+                               (direct, lslot))
+    return new, ls_new, nbr_min, jnp.any(new != label)
 
 
 def _min_sweep_impl(use_pallas: bool):
@@ -373,6 +403,19 @@ def cluster_index(
             label0.reshape(-1), mode="drop")
         label0 = jnp.where(core, gmin[gid].reshape(label0.shape), INT_MAX)
 
+    n_sorted = label0.size
+    own_slot = jnp.arange(n_sorted, dtype=jnp.int32).reshape(label0.shape)
+    if index.group_id is not None:
+        # seeded labels may name another point; derive their slots once
+        flat0 = label0.reshape(-1)
+        lslot0 = jnp.where(
+            flat0 < INT_MAX,
+            inv[jnp.clip(flat0, 0, inv.shape[0] - 1)],
+            n_sorted).reshape(label0.shape)
+    else:
+        # initial labels are each core's own original index -> own slot
+        lslot0 = jnp.where(core, own_slot, n_sorted)
+
     # Incremental frontier loop: propagation is monotone, so each round
     # rescans only candidates in tiles whose labels changed last round,
     # folding minima into a per-point accumulator.  The accumulator
@@ -383,8 +426,8 @@ def cluster_index(
     # candidate-table sweeps to a near-empty frontier.  Round 1 always
     # scans everything, so it runs hoisted as a plain full sweep with
     # none of the gating's candidate-compaction overhead.
-    label1, acc1, _ = _cc_step(index, label0, core, inv, eps_space,
-                               eps_time, use_pallas=False)
+    label1, lslot1, acc1, _ = _cc_step(index, label0, lslot0, core, inv,
+                                       eps_space, eps_time, use_pallas=False)
     prev = label0
     for _ in range(hoisted_rounds - 1):
         # early rounds rescan essentially everything (the round-2 frontier
@@ -392,8 +435,9 @@ def cluster_index(
         # full rounds skip the gating's candidate-compaction overhead and
         # keep round 1's deeper jump-to-fixpoint collapse
         prev = label1
-        label1, nbr1, _ = _cc_step(index, label1, core, inv, eps_space,
-                                   eps_time, use_pallas=False)
+        label1, lslot1, nbr1, _ = _cc_step(index, label1, lslot1, core, inv,
+                                           eps_space, eps_time,
+                                           use_pallas=False)
         acc1 = jnp.minimum(acc1, nbr1)
     # the gated loop's frontier: tiles whose labels changed in the LAST
     # hoisted round (monotone labels make this exactly the set whose
@@ -401,19 +445,19 @@ def cluster_index(
     changed1 = jnp.any(label1 != prev, axis=1)
 
     def cond(state):
-        return state[3] & (state[4] < max_sweeps)
+        return state[4] & (state[5] < max_sweeps)
 
     def body(state):
-        lbl, acc, tchanged, _, it = state
-        new, acc2, changed = _cc_step_gated(index, lbl, core, inv, acc,
-                                            tchanged, eps_space,
-                                            eps_time,
-                                            jump_cap=tail_jump_cap)
-        return (new, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
+        lbl, ls, acc, tchanged, _, it = state
+        new, ls2, acc2, changed = _cc_step_gated(index, lbl, ls, core, inv,
+                                                 acc, tchanged, eps_space,
+                                                 eps_time,
+                                                 jump_cap=tail_jump_cap)
+        return (new, ls2, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
 
-    label, last_nbr_min, _, _, _ = jax.lax.while_loop(
+    label, _, last_nbr_min, _, _, _ = jax.lax.while_loop(
         cond, body,
-        (label1, acc1, changed1, jnp.any(changed1), jnp.int32(1)))
+        (label1, lslot1, acc1, changed1, jnp.any(changed1), jnp.int32(1)))
 
     comp_key = jnp.where(core, label, INT_MAX)
     rank_lookup, num_clusters = _finalize_keys(index, comp_key, core)
