@@ -25,6 +25,7 @@ from ..ops.geometry import compact_masked
 from ..ops.stdbscan import st_dbscan_device
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
+from ..utils.transfer import pull_labels, pull_prefix
 from .ingest import FrameBatchLoader, IngestedFrames
 from .tracker import _quarter_pow2
 
@@ -57,13 +58,14 @@ class DenoiseResult:
     @property
     def points(self) -> np.ndarray:
         if self._points_np is None:
-            self._points_np = np.asarray(self.points_dev)[:self.n_points]
+            self._points_np = pull_prefix(self.points_dev, self.n_points)
         return self._points_np
 
     @property
     def labels(self) -> np.ndarray:
         if self._labels_np is None:
-            self._labels_np = np.asarray(self.labels_dev)[:self.n_points]
+            self._labels_np = pull_labels(self.labels_dev, self.n_points,
+                                          self.num_clusters)
         return self._labels_np
 
     @property

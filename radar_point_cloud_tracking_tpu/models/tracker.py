@@ -37,6 +37,7 @@ from ..ops.tracking import (
 )
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
+from ..utils.transfer import pull_labels, pull_prefix
 from .ingest import FrameBatchLoader, IngestedFrames
 
 __all__ = ["TrackingResult", "run_tracking_pipeline", "TrackingPipeline"]
@@ -84,13 +85,14 @@ class TrackingResult:
     @property
     def labels(self) -> np.ndarray:
         if self._labels_np is None:
-            self._labels_np = np.asarray(self.labels_dev)[:self.n_points]
+            self._labels_np = pull_labels(self.labels_dev, self.n_points,
+                                          self.num_clusters)
         return self._labels_np
 
     @property
     def points(self) -> np.ndarray:
         if self._points_np is None:
-            self._points_np = np.asarray(self.points_dev)[:self.n_points]
+            self._points_np = pull_prefix(self.points_dev, self.n_points)
         return self._points_np
 
     @property
