@@ -58,6 +58,48 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _wait_for_device():
+    """The axon tunnel has transient outages (handshake 12-500s normally,
+    occasionally UNAVAILABLE for stretches) — the round-end bench artifact
+    must not die to one.  Probe ``jax.devices()`` in a SUBPROCESS (jax
+    caches a failed backend init for the life of a process, so the probe
+    must not be this process) until it succeeds or the wait budget runs
+    out, then let the caller handshake in-process."""
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_DEVICE_WAIT_S", "1800"))
+    if budget <= 0:
+        return
+    deadline = time.monotonic() + budget
+    probe = "import jax; jax.devices(); print(jax.default_backend())"
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.perf_counter()
+        try:
+            # 900s per attempt: degraded-but-live handshakes have measured
+            # up to ~520s; anything past 900 is a dead tunnel for now
+            proc = subprocess.run([sys.executable, "-c", probe],
+                                  capture_output=True, text=True,
+                                  timeout=900)
+            if proc.returncode == 0:
+                backend = (proc.stdout.strip().splitlines() or ["?"])[-1]
+                log(f"device probe ok (attempt {attempt}, "
+                    f"{time.perf_counter() - t0:.0f}s, backend {backend})")
+                return
+            tail = (proc.stderr.strip().splitlines() or ["?"])[-1]
+            log(f"device probe failed (attempt {attempt}, "
+                f"{time.perf_counter() - t0:.0f}s): {tail[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"device probe timed out after 900s (attempt {attempt})")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            log("device wait budget exhausted; proceeding (the in-process "
+                "handshake will raise if the backend is still down)")
+            return
+        time.sleep(min(120.0, max(10.0, remaining)))
+
+
 # committed (in-repo) bench records, keyed by dataset signature: the
 # full-sequence oracle labels/track record and the literal-reference wall
 # time survive a fresh clone, so the exactness assert never silently skips
@@ -386,6 +428,7 @@ def run_denoise_bench():
     cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
     tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "3")))
 
+    _wait_for_device()
     t0 = time.perf_counter()
     np.asarray(jnp.ones(8))
     log(f"device handshake {time.perf_counter() - t0:.1f}s")
@@ -510,6 +553,7 @@ def run_envelope():
     from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
         oracle_st_dbscan)
 
+    _wait_for_device()
     t0 = time.perf_counter()
     np.asarray(jnp.ones(8))
     log(f"device handshake {time.perf_counter() - t0:.1f}s")
@@ -582,6 +626,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _wait_for_device()
     t0 = time.perf_counter()
     np.asarray(jnp.ones(8))  # once-per-process tunnel handshake
     log(f"device handshake {time.perf_counter() - t0:.1f}s")
