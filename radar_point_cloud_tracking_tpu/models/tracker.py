@@ -613,11 +613,13 @@ class TrackingPipeline:
             tile_sz = cfg.clustering.tile_size
             ck = (int(capacity), tile_sz, float(eps_space), float(eps_time),
                   cfg.clustering.cell_size)
-            k_hint = _KPAD_CACHE.get(ck)
+            hints = _KPAD_CACHE.get(ck)
+            k_hint, p_hint = hints if hints else (None, None)
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
-                k_pad=k_hint, premerge=cfg.clustering.premerge)
+                k_pad=k_hint, premerge=cfg.clustering.premerge,
+                pairs=use_pallas, p_pad=p_hint)
             while True:
                 labels, num_clusters = cluster_index(
                     index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -625,29 +627,45 @@ class TrackingPipeline:
                     int(cfg.clustering.max_label_sweeps),
                     use_pallas=use_pallas)
                 # one packed pull (each d2h costs ~30 ms flat); the true
-                # candidate-width maximum rides along to validate k_hint
+                # candidate-width maximum (and unordered pair count, when
+                # the symmetric engine is on) ride along to validate hints
+                true_pairs = (index.pair_count if index.pair_count
+                              is not None else jnp.int32(0))
                 trip = np.asarray(jnp.stack(
                     [jnp.asarray(num_clusters, jnp.int32),
                      jnp.asarray(n_points, jnp.int32),
-                     jnp.max(index.cand_count).astype(jnp.int32)]))
-                max_cand = int(trip[2])
-                if k_hint is not None and max_cand > index.cand_idx.shape[1]:
-                    self._log(f"  [capacity] candidate width {max_cand} "
-                              f"exceeds cached k_pad={k_hint}; rebuilding "
-                              "index exactly")
-                    k_hint = None
+                     jnp.max(index.cand_count).astype(jnp.int32),
+                     jnp.asarray(true_pairs, jnp.int32)]))
+                max_cand, n_pairs = int(trip[2]), int(trip[3])
+                overflow = (k_hint is not None
+                            and max_cand > index.cand_idx.shape[1])
+                if (not overflow and index.pair_a is not None
+                        and n_pairs > index.pair_a.shape[0]):
+                    overflow = True
+                if overflow:
+                    self._log(f"  [capacity] candidate width {max_cand} / "
+                              f"pair count {n_pairs} exceeds cached hints "
+                              f"{hints}; rebuilding index exactly")
+                    k_hint = p_hint = None
                     index = build_spatial_index(
                         points[:, :2], points[:, 4], pvalid, eps_space,
                         eps_time, tile=tile_sz,
                         cell_size=cfg.clustering.cell_size,
-                        premerge=cfg.clustering.premerge)
+                        premerge=cfg.clustering.premerge,
+                        pairs=use_pallas)
                     continue
                 break
-            # pow2 bucket keeps K (a compiled shape) stable across runs
+            # pow2 buckets keep the compiled shapes stable across runs
             kp = 1
             while kp < max(max_cand, 1):
                 kp *= 2
-            _KPAD_CACHE[ck] = kp
+            pp = 1
+            while pp < max(n_pairs, 1):
+                pp *= 2
+            if index.pair_a is None and hints:
+                pp = max(pp, hints[1])  # a non-pallas run must not shrink
+                # the pair hint a pallas run recorded for the same key
+            _KPAD_CACHE[ck] = (kp, pp)
             num_clusters, n_points = int(trip[0]), int(trip[1])
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 

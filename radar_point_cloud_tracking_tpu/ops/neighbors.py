@@ -73,11 +73,20 @@ class SpatialIndex:
     # time-bucket width = eps_time/2), so core points in a group may share
     # one initial label before propagation round 1
     group_id: Optional[jnp.ndarray] = None
+    # optional unordered tile-pair list (a-major sorted, a <= b, self pairs
+    # included once): the symmetric Pallas sweeps evaluate each pair block
+    # ONCE and fold it into both tiles' outputs, halving predicate work on
+    # full-table sweeps.  pair_count (device scalar) is the live length;
+    # entries beyond it are (0, 0) and skipped.
+    pair_a: Optional[jnp.ndarray] = None  # (P_pad,) int32
+    pair_b: Optional[jnp.ndarray] = None  # (P_pad,) int32
+    pair_count: Optional[jnp.ndarray] = None  # () int32
 
     def tree_flatten(self):
         return ((self.coords, self.times, self.valid, self.perm,
                  self.cand_idx, self.cand_count, self.qorder,
-                 self.group_id), None)
+                 self.group_id, self.pair_a, self.pair_b,
+                 self.pair_count), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -198,6 +207,31 @@ def _tile_pair_mask(lo, hi, tlo, thi, eps_space, eps_time):
     return space_ok & time_ok & nonempty[:, None] & nonempty[None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("p_pad",))
+def _pairs_from_candidates(cand_idx, cand_count, p_pad):
+    """Unordered tile-pair list (a <= b, self pairs included once) compacted
+    from the candidate table, a-major sorted.  Entries beyond the true count
+    are (0, 0); the true count returns as a device scalar so callers with a
+    static ``p_pad`` hint can detect overflow (dropped pairs) and rebuild."""
+    nt, k = cand_idx.shape
+    rows = jnp.arange(nt, dtype=jnp.int32)[:, None]
+    live = jnp.arange(k, dtype=jnp.int32)[None, :] < cand_count[:, None]
+    keep = live & (cand_idx >= rows)
+    flat_keep = keep.reshape(-1)
+    # stable argsort(~keep) packs kept flat positions first in row-major
+    # order: ascending a, then ascending b (candidate rows are ascending)
+    pos = jnp.argsort(~flat_keep, stable=True)[:p_pad].astype(jnp.int32)
+    sel = flat_keep[pos]
+    pa_live = jnp.where(sel, pos // k, 0)
+    # dead-tail entries repeat the LAST live a (live as are ascending, so
+    # max == last): the symmetric kernels' a-side output block then never
+    # revisits (and re-initializes) an earlier tile's accumulator
+    pa = jnp.where(sel, pa_live, jnp.max(pa_live)).astype(jnp.int32)
+    pb = jnp.where(sel, cand_idx.reshape(-1)[pos], 0).astype(jnp.int32)
+    count = jnp.sum(keep).astype(jnp.int32)
+    return pa, pb, count
+
+
 @functools.partial(jax.jit, static_argnames=("k_pad",))
 def _candidates_from_mask(mask, k_pad):
     # argsort(~mask) stable puts True entries first in ascending column
@@ -220,6 +254,8 @@ def build_spatial_index(
     cell_size: Optional[float] = None,
     k_pad: Optional[int] = None,
     premerge: bool = False,
+    pairs: bool = False,
+    p_pad: Optional[int] = None,
 ) -> SpatialIndex:
     """Build the sorted tile index + pruned candidate lists.
 
@@ -234,6 +270,11 @@ def build_spatial_index(
     eps_time/2 time bucket) and attaches ``group_id``: points in one group
     are proven mutual ST-neighbors, letting the clustering seed core labels
     with group minima (one free contraction level before round 1).
+
+    ``pairs`` additionally compacts the UNORDERED tile-pair list (a <= b)
+    for the symmetric Pallas sweeps; its static width comes from ``p_pad``
+    (hint; true count returns on the index for overflow detection) or the
+    same single host sync that sizes k_pad.
     """
     if cell_size is None:
         cell_size = eps_space
@@ -247,19 +288,33 @@ def build_spatial_index(
             premerge=premerge))
     mask = _tile_pair_mask(lo, hi, tlo, thi, jnp.float32(eps_space),
                            jnp.float32(eps_time))
-    if k_pad is None:
-        k_max = int(jnp.max(jnp.sum(mask, axis=1)))  # host sync (tiny array)
-        k_pad = 1
-        while k_pad < max(k_max, 1):
-            k_pad *= 2
-        k_pad = min(k_pad, num_tiles)
-    else:
-        k_pad = min(k_pad, num_tiles)
+    if k_pad is None or (pairs and p_pad is None):
+        # ONE host sync covers both static widths (tiny packed array)
+        counts = jnp.sum(mask, axis=1)
+        tri = jnp.arange(num_tiles, dtype=jnp.int32)
+        n_upper = jnp.sum(mask & (tri[None, :] >= tri[:, None]))
+        k_max, p_true = (int(v) for v in
+                         np.asarray(jnp.stack([jnp.max(counts), n_upper])))
+        if k_pad is None:
+            k_pad = 1
+            while k_pad < max(k_max, 1):
+                k_pad *= 2
+            k_pad = min(k_pad, num_tiles)
+        if pairs and p_pad is None:
+            p_pad = 1
+            while p_pad < max(p_true, 1):
+                p_pad *= 2
+    k_pad = min(k_pad, num_tiles)
     cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
     qorder = jnp.argsort(cand_count, stable=True).astype(jnp.int32)
+    pair_a = pair_b = pair_count = None
+    if pairs:
+        pair_a, pair_b, pair_count = _pairs_from_candidates(
+            cand_idx, cand_count, min(p_pad, num_tiles * k_pad))
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
                         perm=perm, cand_idx=cand_idx, cand_count=cand_count,
-                        qorder=qorder, group_id=group_id)
+                        qorder=qorder, group_id=group_id,
+                        pair_a=pair_a, pair_b=pair_b, pair_count=pair_count)
 
 
 # ---------------------------------------------------------------------------

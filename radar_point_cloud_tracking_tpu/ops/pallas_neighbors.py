@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .neighbors import INT_MAX, SpatialIndex
 
 __all__ = ["min_sweep_pallas", "core_stats_pallas", "min_sweep_pallas_dma",
-           "core_stats_pallas_dma"]
+           "core_stats_pallas_dma", "core_stats_pallas_sym",
+           "min_sweep_pallas_sym"]
 
 
 def _interpret() -> bool:
@@ -517,3 +518,260 @@ def min_sweep_pallas_dma(
     )(index.cand_count, index.cand_idx.reshape(nt, 1, k_pad),
       fplanes, iplanes, fplanes, eps)
     return out.reshape(nt, t)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-pair variants: each unordered tile pair computed ONCE
+# ---------------------------------------------------------------------------
+#
+# The directed kernels above evaluate the (T x T) pair predicate twice per
+# unordered tile pair (once per direction).  These variants walk the
+# a-major-sorted unordered pair list (SpatialIndex.pair_a/pair_b, a <= b)
+# and fold each block into BOTH tiles' outputs: the query (a) side
+# accumulates in the revisited output block (consecutive steps share a, the
+# same mechanism the prefetch kernels use across their candidate axis); the
+# candidate (b) side emits one partial row per pair, reduced by a row
+# scatter in the XLA wrapper.  Predicate work on full-table sweeps halves;
+# DMA volume is unchanged (each pair fetches two tiles instead of each
+# directed candidate fetching one).
+
+
+def _make_sym_stats_kernel(p_pad: int, tile: int):
+    def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
+               eps_ref, deg_ref, partial_ref,
+               fbuf, sems):
+        p = pl.program_id(0)
+        live = p < cnt_ref[0]
+        a = pa_ref[p]
+        b = pb_ref[p]
+
+        def start_fetch(slot, k):
+            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                                  fbuf.at[slot, 0], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                                  fbuf.at[slot, 1], sems.at[slot, 1]).start()
+
+        def wait_fetch(slot, k):
+            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                                  fbuf.at[slot, 0], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                                  fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+
+        @pl.when(p == 0)
+        def _():
+            start_fetch(0, 0)
+
+        @pl.when(p + 1 < p_pad)
+        def _():
+            start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+
+        # dead-tail pairs repeat the last live a (see _pairs_from_
+        # candidates), so this init can never clobber an earlier block
+        first = jnp.logical_or(
+            p == 0, a != pa_ref[jnp.maximum(p - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            deg_ref[...] = jnp.zeros_like(deg_ref)
+
+        slot = jax.lax.rem(p, 2)
+        wait_fetch(slot, p)
+        partial_ref[...] = jnp.zeros_like(partial_ref)
+
+        @pl.when(live)
+        def _():
+            eps2 = eps_ref[0, 0]
+            eps_t = eps_ref[0, 1]
+            xa = fbuf[slot, 0, 0]
+            ya = fbuf[slot, 0, 1]
+            ta = fbuf[slot, 0, 2]
+            xb = fbuf[slot, 1, 0]
+            yb = fbuf[slot, 1, 1]
+            tb = fbuf[slot, 1, 2]
+            dx = xa[:, None] - xb[None, :]
+            dy = ya[:, None] - yb[None, :]
+            dt = tb[None, :] - ta[:, None]
+            # sentinel-coordinate invalid points need no validity operands
+            mask = ((dx * dx + dy * dy <= eps2) & (jnp.abs(dt) <= eps_t))
+            deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(mask, axis=1,
+                                                    dtype=jnp.int32)
+
+            @pl.when(a != b)
+            def _():
+                # diagonal blocks fold once (row sums only): the column
+                # sums would double-count intra-tile pairs
+                partial_ref[0, 0] = jnp.sum(mask, axis=0, dtype=jnp.int32)
+
+    return kernel
+
+
+def _make_sym_min_kernel(p_pad: int, tile: int):
+    def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
+               eps_ref, acc_ref, partial_ref,
+               fbuf, sems):
+        p = pl.program_id(0)
+        live = p < cnt_ref[0]
+        a = pa_ref[p]
+
+        def start_fetch(slot, k):
+            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                                  fbuf.at[slot, 0], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                                  fbuf.at[slot, 1], sems.at[slot, 1]).start()
+
+        def wait_fetch(slot, k):
+            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                                  fbuf.at[slot, 0], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                                  fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+
+        @pl.when(p == 0)
+        def _():
+            start_fetch(0, 0)
+
+        @pl.when(p + 1 < p_pad)
+        def _():
+            start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+
+        first = jnp.logical_or(
+            p == 0, a != pa_ref[jnp.maximum(p - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            acc_ref[...] = jnp.full_like(acc_ref, INT_MAX)
+
+        slot = jax.lax.rem(p, 2)
+        wait_fetch(slot, p)
+        partial_ref[...] = jnp.full_like(partial_ref, INT_MAX)
+
+        @pl.when(live)
+        def _():
+            eps2 = eps_ref[0, 0]
+            eps_t = eps_ref[0, 1]
+            xa = fbuf[slot, 0, 0]
+            ya = fbuf[slot, 0, 1]
+            ta = fbuf[slot, 0, 2]
+            pay_a = jax.lax.bitcast_convert_type(fbuf[slot, 0, 3],
+                                                 jnp.int32)
+            xb = fbuf[slot, 1, 0]
+            yb = fbuf[slot, 1, 1]
+            tb = fbuf[slot, 1, 2]
+            pay_b = jax.lax.bitcast_convert_type(fbuf[slot, 1, 3],
+                                                 jnp.int32)
+            dx = xa[:, None] - xb[None, :]
+            dy = ya[:, None] - yb[None, :]
+            dt = tb[None, :] - ta[:, None]
+            mask = ((dx * dx + dy * dy <= eps2) & (jnp.abs(dt) <= eps_t))
+            row_min = jnp.min(jnp.where(mask, pay_b[None, :], INT_MAX),
+                              axis=1)
+            acc_ref[0, 0] = jnp.minimum(acc_ref[0, 0], row_min)
+            # min is idempotent, so the diagonal's column emission is
+            # harmless (same values the row side already folded)
+            partial_ref[0, 0] = jnp.min(
+                jnp.where(mask, pay_a[:, None], INT_MAX), axis=0)
+
+    return kernel
+
+
+def _sym_fplanes(index: SpatialIndex,
+                 payload: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """(nt, 8, T) f32 planes: x, y, t[, payload bits] (sublane-padded)."""
+    zf = jnp.zeros_like(index.times)
+    pay = (jax.lax.bitcast_convert_type(payload, jnp.float32)
+           if payload is not None else zf)
+    return jnp.stack([index.coords[..., 0], index.coords[..., 1],
+                      index.times, pay, zf, zf, zf, zf], axis=1)
+
+
+@jax.jit
+def core_stats_pallas_sym(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+) -> jnp.ndarray:
+    """Symmetric-pair degree sweep (2D coords, no min_frames): each
+    unordered tile pair's predicate evaluated once.  Requires an index
+    built with ``pairs=True``."""
+    nt, t = index.num_tiles, index.tile
+    p_pad = index.pair_a.shape[0]
+    fplanes = _sym_fplanes(index, None)
+    eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # pair_a, pair_b, pair_count
+        grid=(p_pad,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    deg_a, partial_b = pl.pallas_call(
+        _make_sym_stats_kernel(p_pad, t),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
+        interpret=_interpret(),
+    )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
+      fplanes, eps)
+    deg_b = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].add(
+        partial_b.reshape(p_pad, t), mode="drop")
+    # blocks of all-invalid tiles are never visited (no pairs) and hold
+    # whatever was in the output buffer; their degrees are unused (core
+    # requires index.valid) but zero them for deterministic output
+    deg = jnp.where(index.valid, deg_a.reshape(nt, t) + deg_b, 0)
+    return deg
+
+
+@jax.jit
+def min_sweep_pallas_sym(
+    index: SpatialIndex,
+    payload: jnp.ndarray,  # (Ntiles, T) int32
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+) -> jnp.ndarray:
+    """Symmetric-pair min sweep (2D coords, unthresholded): the Pallas twin
+    of neighbors.neighbor_min_sweep over the unordered pair list."""
+    nt, t = index.num_tiles, index.tile
+    p_pad = index.pair_a.shape[0]
+    fplanes = _sym_fplanes(index, payload)
+    eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(p_pad,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    acc_a, partial_b = pl.pallas_call(
+        _make_sym_min_kernel(p_pad, t),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
+        interpret=_interpret(),
+    )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
+      fplanes, eps)
+    min_b = jnp.full((nt, t), INT_MAX, jnp.int32).at[index.pair_b].min(
+        partial_b.reshape(p_pad, t), mode="drop")
+    out = jnp.minimum(acc_a.reshape(nt, t), min_b)
+    # unvisited blocks (all-invalid tiles) hold garbage; mask to INT_MAX
+    return jnp.where(index.valid, out, INT_MAX)

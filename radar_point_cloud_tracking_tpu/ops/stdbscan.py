@@ -101,7 +101,7 @@ def _refresh_slots(flat_new: jnp.ndarray, flat_old: jnp.ndarray,
     return jnp.where(flat_new < INT_MAX, ls, n_sorted)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "sym"))
 def _cc_step(
     index: SpatialIndex,
     label: jnp.ndarray,
@@ -111,15 +111,23 @@ def _cc_step(
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
     use_pallas: bool = False,
+    sym: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One propagation round: neighbor-min sweep + grandparent hooking +
     pointer jumps.  Labels are ORIGINAL point indices, so the fixpoint label
     is directly the component key (min original core index); ``lslot``
     carries each label's sorted slot so jump passes are single row gathers
-    (see :func:`_jump_pass`).  Returns (new labels, new label slots, this
-    round's raw neighbor minima, changed?)."""
+    (see :func:`_jump_pass`).  ``sym`` selects the symmetric-pair Pallas
+    full sweep when the index carries the pair list.  Returns (new labels,
+    new label slots, this round's raw neighbor minima, changed?)."""
     n_sorted = label.size
-    sweep = _min_sweep_impl(use_pallas)
+    if sym and index.pair_a is not None and index.coords.shape[-1] == 2:
+        from .pallas_neighbors import min_sweep_pallas_sym
+
+        def sweep(ix, pay, es, et):
+            return min_sweep_pallas_sym(ix, pay, es, et)
+    else:
+        sweep = _min_sweep_impl(use_pallas)
 
     payload = jnp.where(core, label, INT_MAX)
     nbr_min = sweep(index, payload, eps_space, eps_time)
@@ -253,10 +261,17 @@ def _min_sweep_impl(use_pallas: bool):
 
 def _core_stats(index: SpatialIndex, eps_space, eps_time, n_offsets: int,
                 use_pallas: bool):
-    """Degree (+ frame presence) sweep: the manual-DMA Pallas kernel covers
-    the hot tracker case (2D coords, no min_frames) with no SMEM-table size
-    limit; other cases use the XLA engine."""
+    """Degree (+ frame presence) sweep: the Pallas kernels cover the hot
+    tracker case (2D coords, no min_frames) — the symmetric-pair kernel
+    when the index carries the unordered pair list (each pair block
+    evaluated once), else the manual-DMA directed kernel; other cases use
+    the XLA engine."""
     if use_pallas and n_offsets == 0 and index.coords.shape[-1] == 2:
+        if index.pair_a is not None:
+            from .pallas_neighbors import core_stats_pallas_sym
+
+            degree = core_stats_pallas_sym(index, eps_space, eps_time)
+            return degree, jnp.zeros_like(degree)
         from .pallas_neighbors import core_stats_pallas_dma
 
         degree = core_stats_pallas_dma(index, eps_space, eps_time)
@@ -341,9 +356,10 @@ def st_dbscan_device(
     the convergence loop runs on device.  Returns (labels (N,) int32 —
     noise/padding -1, num_clusters).
     """
+    pairs = bool(use_pallas) and coords.shape[1] == 2
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size,
-                                premerge=premerge)
+                                premerge=premerge, pairs=pairs)
     n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -427,7 +443,8 @@ def cluster_index(
     # scans everything, so it runs hoisted as a plain full sweep with
     # none of the gating's candidate-compaction overhead.
     label1, lslot1, acc1, _ = _cc_step(index, label0, lslot0, core, inv,
-                                       eps_space, eps_time, use_pallas=False)
+                                       eps_space, eps_time, use_pallas=False,
+                                       sym=use_pallas)
     prev = label0
     for _ in range(hoisted_rounds - 1):
         # early rounds rescan essentially everything (the round-2 frontier
@@ -437,7 +454,8 @@ def cluster_index(
         prev = label1
         label1, lslot1, nbr1, _ = _cc_step(index, label1, lslot1, core, inv,
                                            eps_space, eps_time,
-                                           use_pallas=False)
+                                           use_pallas=False,
+                                           sym=use_pallas)
         acc1 = jnp.minimum(acc1, nbr1)
     # the gated loop's frontier: tiles whose labels changed in the LAST
     # hoisted round (monotone labels make this exactly the set whose

@@ -75,15 +75,15 @@ def test_undersized_kpad_hint_is_detected_and_exact(_clean_cache):
     true_max = int(jnp.max(idx.cand_count))
     assert true_max > 1, "fixture too small: a hint of 1 is not undersized"
 
-    # poison the cache key with a uselessly small hint; the in-program
+    # poison the cache key with uselessly small hints; the in-program
     # overflow check must force an exact rebuild
     tracker_mod._KPAD_CACHE.clear()
     key = (int(cap), tile_sz, 8.0, 2.0, cell)
-    tracker_mod._KPAD_CACHE[key] = 1
+    tracker_mod._KPAD_CACHE[key] = (1, 1)
 
     out = _run(ingested, cfg)
     assert np.array_equal(np.asarray(out.labels), ref_labels)
     assert out.num_clusters == ref.num_clusters
     # the retry must have repaired the cache to a width covering the true
     # candidate maximum (not just any >= 1 value)
-    assert tracker_mod._KPAD_CACHE[key] >= true_max
+    assert tracker_mod._KPAD_CACHE[key][0] >= true_max

@@ -1,0 +1,140 @@
+"""Symmetric-pair Pallas sweeps vs the directed XLA engine: the unordered
+pair list (ops/neighbors.py build_spatial_index(pairs=True)) plus the
+symmetric kernels (ops/pallas_neighbors.py *_sym) must reproduce the
+directed sweeps bit-for-bit — degree counts and min-label payloads — on
+scenes with padding, invalid points, and multi-tile candidate fans."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from radar_point_cloud_tracking_tpu.ops.neighbors import (
+    INT_MAX,
+    build_spatial_index,
+    neighbor_core_stats,
+    neighbor_min_sweep,
+)
+from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+    core_stats_pallas_sym,
+    min_sweep_pallas_sym,
+)
+
+
+def _scene(seed, n=900, with_invalid=True):
+    rng = np.random.default_rng(seed)
+    blobs = [rng.normal(rng.uniform(0, 150, 2), 3.0, (n // 6, 2))
+             for _ in range(4)]
+    coords = np.concatenate(
+        blobs + [rng.uniform(-20, 170, (n - 4 * (n // 6), 2))])
+    coords = coords.astype(np.float32)
+    times = rng.integers(0, 8, n).astype(np.float32)
+    valid = np.ones((n,), bool)
+    if with_invalid:
+        valid[rng.choice(n, n // 10, replace=False)] = False
+    return coords, times, valid
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("tile", [64, 128])
+def test_sym_degree_matches_directed(seed, tile):
+    coords, times, valid = _scene(seed)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=tile,
+                              pairs=True)
+    assert idx.pair_a is not None
+    want, _ = neighbor_core_stats(idx, es, et, n_offsets=0)
+    got = core_stats_pallas_sym(idx, es, et)
+    want = jnp.where(idx.valid, want, 0)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_sym_min_sweep_matches_directed(seed):
+    coords, times, valid = _scene(seed)
+    n = coords.shape[0]
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    rng = np.random.default_rng(seed + 100)
+    pay_np = rng.integers(0, n, idx.valid.shape).astype(np.int32)
+    pay_np[~np.asarray(idx.valid)] = INT_MAX
+    payload = jnp.asarray(pay_np)
+    want = neighbor_min_sweep(idx, payload, es, et)
+    got = min_sweep_pallas_sym(idx, payload, es, et)
+    v = np.asarray(idx.valid)
+    assert np.array_equal(np.asarray(got)[v], np.asarray(want)[v])
+    # invalid slots are INT_MAX by contract in the symmetric engine
+    assert (np.asarray(got)[~v] == INT_MAX).all()
+
+
+def test_pair_list_is_unordered_and_complete():
+    coords, times, valid = _scene(7, n=600)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    nt = idx.num_tiles
+    cnt = int(idx.pair_count)
+    pa = np.asarray(idx.pair_a)[:cnt]
+    pb = np.asarray(idx.pair_b)[:cnt]
+    assert (pa <= pb).all()
+    assert (np.diff(pa) >= 0).all()  # a-major sorted
+    # reconstruct the directed candidate relation from the pair list
+    directed = set()
+    for a, b in zip(pa, pb):
+        directed.add((int(a), int(b)))
+        directed.add((int(b), int(a)))
+    cc = np.asarray(idx.cand_count)
+    ci = np.asarray(idx.cand_idx)
+    want = {(i, int(ci[i, k])) for i in range(nt) for k in range(cc[i])}
+    assert directed == want
+    # dead tail repeats the last live a (never revisits an earlier block)
+    tail = np.asarray(idx.pair_a)[cnt:]
+    if len(tail):
+        assert (tail == pa[-1]).all()
+
+
+def test_pair_overflow_detectable():
+    """With an undersized static p_pad the true count exceeds the list
+    length, which callers use to grow-and-retry."""
+    coords, times, valid = _scene(9, n=600)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True, p_pad=2)
+    assert int(idx.pair_count) > idx.pair_a.shape[0]
+
+
+@pytest.mark.parametrize("border_mode", ["always", "if_earlier"])
+def test_full_cluster_program_sym_engine_matches_plain(border_mode):
+    """st_dbscan_device(use_pallas=True) routes the stats sweep and the
+    hoisted full min sweep through the symmetric kernels (interpret mode
+    here); converged labels must bit-match the plain XLA engine."""
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import st_dbscan_device
+
+    coords, times, valid = _scene(11, n=1200)
+    n = coords.shape[0]
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0, 8)
+    base, kb = st_dbscan_device(*args, border_mode=border_mode, tile=64,
+                                use_pallas=False)
+    sym, ks = st_dbscan_device(*args, border_mode=border_mode, tile=64,
+                               use_pallas=True)
+    assert int(kb) == int(ks)
+    assert np.array_equal(np.asarray(base), np.asarray(sym))
+
+
+def test_full_cluster_program_sym_min_frames():
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import st_dbscan_device
+
+    coords, times, valid = _scene(13, n=1000)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0, 8)
+    base, kb = st_dbscan_device(*args, min_frames=3,
+                                border_mode="if_earlier", tile=64,
+                                use_pallas=False)
+    sym, ks = st_dbscan_device(*args, min_frames=3,
+                               border_mode="if_earlier", tile=64,
+                               use_pallas=True)
+    assert int(kb) == int(ks)
+    assert np.array_equal(np.asarray(base), np.asarray(sym))
