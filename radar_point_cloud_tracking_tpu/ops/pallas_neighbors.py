@@ -605,7 +605,7 @@ def _make_sym_stats_kernel(p_pad: int, tile: int):
     return kernel
 
 
-def _make_sym_min_kernel(p_pad: int, tile: int):
+def _make_sym_min_kernel(p_pad: int, tile: int, use_limit: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, acc_ref, partial_ref,
                fbuf, sems):
@@ -662,25 +662,53 @@ def _make_sym_min_kernel(p_pad: int, tile: int):
             dy = ya[:, None] - yb[None, :]
             dt = tb[None, :] - ta[:, None]
             mask = ((dx * dx + dy * dy <= eps2) & (jnp.abs(dt) <= eps_t))
-            row_min = jnp.min(jnp.where(mask, pay_b[None, :], INT_MAX),
+            if use_limit:
+                # a neighbor participates only when its payload is strictly
+                # below the QUERY point's limit, or it carries the bypass
+                # flag (denoiser scan-order border attachment) — evaluated
+                # in both directions from the same block
+                lim_a = jax.lax.bitcast_convert_type(fbuf[slot, 0, 4],
+                                                     jnp.int32)
+                byp_a = jax.lax.bitcast_convert_type(fbuf[slot, 0, 5],
+                                                     jnp.int32)
+                lim_b = jax.lax.bitcast_convert_type(fbuf[slot, 1, 4],
+                                                     jnp.int32)
+                byp_b = jax.lax.bitcast_convert_type(fbuf[slot, 1, 5],
+                                                     jnp.int32)
+                mask_ab = mask & ((pay_b[None, :] < lim_a[:, None])
+                                  | (byp_b[None, :] > 0))
+                mask_ba = mask & ((pay_a[:, None] < lim_b[None, :])
+                                  | (byp_a[:, None] > 0))
+            else:
+                mask_ab = mask_ba = mask
+            row_min = jnp.min(jnp.where(mask_ab, pay_b[None, :], INT_MAX),
                               axis=1)
             acc_ref[0, 0] = jnp.minimum(acc_ref[0, 0], row_min)
             # min is idempotent, so the diagonal's column emission is
             # harmless (same values the row side already folded)
             partial_ref[0, 0] = jnp.min(
-                jnp.where(mask, pay_a[:, None], INT_MAX), axis=0)
+                jnp.where(mask_ba, pay_a[:, None], INT_MAX), axis=0)
 
     return kernel
 
 
 def _sym_fplanes(index: SpatialIndex,
-                 payload: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """(nt, 8, T) f32 planes: x, y, t[, payload bits] (sublane-padded)."""
+                 payload: Optional[jnp.ndarray],
+                 query_limit: Optional[jnp.ndarray] = None,
+                 bypass_limit: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(nt, 8, T) f32 planes: x, y, t[, payload, limit, bypass bits]
+    (sublane-padded; integer operands ride as bitcasts so each tile is ONE
+    DMA stream)."""
     zf = jnp.zeros_like(index.times)
-    pay = (jax.lax.bitcast_convert_type(payload, jnp.float32)
-           if payload is not None else zf)
+
+    def bits(a):
+        return (jax.lax.bitcast_convert_type(a.astype(jnp.int32),
+                                             jnp.float32)
+                if a is not None else zf)
+
     return jnp.stack([index.coords[..., 0], index.coords[..., 1],
-                      index.times, pay, zf, zf, zf, zf], axis=1)
+                      index.times, bits(payload), bits(query_limit),
+                      bits(bypass_limit), zf, zf], axis=1)
 
 
 @jax.jit
@@ -731,18 +759,27 @@ def core_stats_pallas_sym(
     return deg
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("use_limit",))
 def min_sweep_pallas_sym(
     index: SpatialIndex,
     payload: jnp.ndarray,  # (Ntiles, T) int32
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
+    query_limit: Optional[jnp.ndarray] = None,
+    bypass_limit: Optional[jnp.ndarray] = None,
+    use_limit: bool = False,
 ) -> jnp.ndarray:
-    """Symmetric-pair min sweep (2D coords, unthresholded): the Pallas twin
-    of neighbors.neighbor_min_sweep over the unordered pair list."""
+    """Symmetric-pair min sweep (2D coords): the Pallas twin of
+    neighbors.neighbor_min_sweep over the unordered pair list, including
+    the thresholded (``use_limit``) border-attachment variant — the limit
+    test is evaluated in both directions from each pair block."""
     nt, t = index.num_tiles, index.tile
     p_pad = index.pair_a.shape[0]
-    fplanes = _sym_fplanes(index, payload)
+    if use_limit and bypass_limit is None:
+        bypass_limit = jnp.zeros((nt, t), jnp.int32)
+    fplanes = _sym_fplanes(index, payload,
+                           query_limit if use_limit else None,
+                           bypass_limit if use_limit else None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -763,7 +800,7 @@ def min_sweep_pallas_sym(
     )
 
     acc_a, partial_b = pl.pallas_call(
-        _make_sym_min_kernel(p_pad, t),
+        _make_sym_min_kernel(p_pad, t, use_limit=use_limit),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                    jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),

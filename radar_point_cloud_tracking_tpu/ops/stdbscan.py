@@ -243,13 +243,25 @@ def _cc_step_gated(
 def _min_sweep_impl(use_pallas: bool):
     if not use_pallas:
         return neighbor_min_sweep
-    from .pallas_neighbors import min_sweep_pallas_dma
+    from .pallas_neighbors import min_sweep_pallas_dma, min_sweep_pallas_sym
 
     def sweep(index, payload, eps_space, eps_time, query_limit=None,
               bypass_limit=None, use_limit=False):
-        # the manual-DMA kernel covers the hot case (2D, unthresholded);
-        # the thresholded border sweep and 3D coords fall back to XLA
-        if use_limit or index.coords.shape[-1] != 2:
+        # 3D coords fall back to XLA; 2D prefers the symmetric-pair kernel
+        # when the index carries the pair list (covers the thresholded
+        # border sweep too), else the directed manual-DMA kernel for the
+        # unthresholded case
+        if index.coords.shape[-1] != 2:
+            return neighbor_min_sweep(index, payload, eps_space, eps_time,
+                                      query_limit=query_limit,
+                                      bypass_limit=bypass_limit,
+                                      use_limit=use_limit)
+        if index.pair_a is not None:
+            return min_sweep_pallas_sym(index, payload, eps_space, eps_time,
+                                        query_limit=query_limit,
+                                        bypass_limit=bypass_limit,
+                                        use_limit=use_limit)
+        if use_limit:
             return neighbor_min_sweep(index, payload, eps_space, eps_time,
                                       query_limit=query_limit,
                                       bypass_limit=bypass_limit,

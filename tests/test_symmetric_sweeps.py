@@ -138,3 +138,31 @@ def test_full_cluster_program_sym_min_frames():
                                use_pallas=True)
     assert int(kb) == int(ks)
     assert np.array_equal(np.asarray(base), np.asarray(sym))
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_sym_limit_sweep_matches_directed(seed):
+    """The thresholded (border-attachment) variant: neighbor participates
+    iff payload < query's limit OR neighbor bypasses — both directions
+    evaluated from each symmetric pair block."""
+    coords, times, valid = _scene(seed, n=800)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        min_sweep_pallas_sym as sym)
+
+    rng = np.random.default_rng(seed + 50)
+    shape = idx.valid.shape
+    pay_np = rng.integers(0, 500, shape).astype(np.int32)
+    pay_np[~np.asarray(idx.valid)] = INT_MAX
+    payload = jnp.asarray(pay_np)
+    qlim = jnp.asarray(rng.integers(0, 500, shape).astype(np.int32))
+    byp = jnp.asarray(rng.random(shape) < 0.15)
+    want = neighbor_min_sweep(idx, payload, es, et, query_limit=qlim,
+                              bypass_limit=byp, use_limit=True)
+    got = sym(idx, payload, es, et, query_limit=qlim, bypass_limit=byp,
+              use_limit=True)
+    v = np.asarray(idx.valid)
+    assert np.array_equal(np.asarray(got)[v], np.asarray(want)[v])
