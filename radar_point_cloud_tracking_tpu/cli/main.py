@@ -273,10 +273,14 @@ def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
               help="Maximum frames to process (0 = all).")
 @click.option("--no-viz", is_flag=True, help="Skip visualizations.")
 @click.option("--skip-gif", is_flag=True, help="Skip GIF generation.")
+@click.option("--devices", type=int, default=0,
+              help="Shard the clustering over this many devices of a "
+                   "frame-axis mesh (0/1 = single chip).")
 @click.pass_context
 def denoise(ctx, data_dir: Path, output_dir: Path, eps_space: float,
             eps_time: float, min_samples: int, min_frames: int,
-            max_frames: int, no_viz: bool, skip_gif: bool) -> None:
+            max_frames: int, no_viz: bool, skip_gif: bool,
+            devices: int) -> None:
     """Run the ST-DBSCAN denoising pipeline."""
     from ..models.denoiser import run_denoising_pipeline
 
@@ -284,7 +288,7 @@ def denoise(ctx, data_dir: Path, output_dir: Path, eps_space: float,
         data_dir, output_dir, eps_space=eps_space, eps_time=eps_time,
         min_samples=min_samples, min_frames=min_frames,
         max_frames=max_frames, no_viz=no_viz, skip_gif=skip_gif,
-        config=_load_config(ctx))
+        config=_load_config(ctx), devices=devices)
 
 
 @cli.command("fuse")

@@ -29,7 +29,8 @@ from ..utils.transfer import pull_labels, pull_prefix
 from .ingest import FrameBatchLoader, IngestedFrames
 from .tracker import _quarter_pow2
 
-__all__ = ["DenoiseResult", "run_denoising_pipeline"]
+__all__ = ["DenoiseResult", "denoise_frames",
+           "denoise_frames_sharded", "run_denoising_pipeline"]
 
 
 @dataclass
@@ -131,10 +132,12 @@ def denoise_frames(
 
     with timer.stage("st_dbscan"):
         pvalid = jnp.arange(capacity) < n_points
-        # the denoiser's time axis is the frame position in the grouped list
-        # (stdbscan_denoising_pipeline.py:933-939)
+        # the denoiser's time axis is the frame POSITION in the grouped list
+        # (stdbscan_denoising_pipeline.py:933-939) — column 3, NOT the real
+        # frame id in column 4 (the loader's ids happen to be positional,
+        # but caller-constructed IngestedFrames may carry arbitrary ids)
         labels, num_clusters = st_dbscan_device(
-            points[:, :2], points[:, 4], pvalid,
+            points[:, :2], points[:, 3], pvalid,
             eps_space, eps_time, min_samples,
             min_frames=min_frames, border_mode="if_earlier",
             tile=cfg.clustering.tile_size,
@@ -169,6 +172,114 @@ def denoise_frames(
     )
 
 
+def denoise_frames_sharded(
+    ingested: IngestedFrames,
+    eps_space: float,
+    eps_time: float,
+    min_samples: int,
+    min_frames: int,
+    config: Optional[PipelineConfig] = None,
+    n_devices: int = 0,
+    verbose: bool = True,
+) -> DenoiseResult:
+    """Multi-chip denoiser: the min_frames ST-DBSCAN as ONE sharded program
+    over a frame-axis device mesh (parallel/pipeline.py — eps_time halo
+    exchange, owner-refresh label propagation, scan-order border
+    attachment).  The denoiser's time axis is the frame POSITION in the
+    grouped list, so the sharded step receives positional ids; real frame
+    ids ride only into the result metadata.  Exact-match to
+    :func:`denoise_frames` is covered by tests/test_parallel.py."""
+    from ..parallel.mesh import make_frames_mesh
+    from ..parallel.pipeline import sharded_tracking_step
+    from .tracker import _SHARD_KPAD_CACHE, _compact_sharded_result
+
+    cfg = config or PipelineConfig()
+    timer = StageTimer(verbose=verbose)
+    devices = jax.devices()
+    n_dev = n_devices or cfg.device.num_devices or len(devices)
+    if len(devices) < n_dev:
+        raise RuntimeError(
+            f"sharded denoiser needs {n_dev} devices, have {len(devices)}")
+
+    f, c = ingested.num_frames, ingested.capacity
+    halo_k = max(1, int(np.floor(eps_time)))
+    n_dev = min(n_dev, max(1, f // halo_k))
+    mesh = make_frames_mesh(n_dev)
+    f_pad = -(-f // n_dev) * n_dev
+    xyi, count = ingested.xyi, ingested.count
+    if f_pad > f:
+        from ..ops.geometry import PAD_COORD
+
+        xyi = jnp.concatenate([
+            xyi, jnp.full((f_pad - f, c, 3), PAD_COORD, xyi.dtype)])
+        count = jnp.concatenate([
+            count, jnp.zeros((f_pad - f,), count.dtype)])
+    positions = jnp.arange(f_pad, dtype=jnp.int32)
+
+    tile_sz = cfg.clustering.tile_size
+    kk = ("denoise", n_dev, f_pad, c, tile_sz, float(eps_space),
+          float(eps_time), int(min_frames))
+    k_pad = _SHARD_KPAD_CACHE.get(kk, 64)
+    with timer.stage("sharded_step"):
+        while True:
+            step = sharded_tracking_step(
+                mesh, eps_space, eps_time, min_samples,
+                min_frames=min_frames, border_mode="if_earlier",
+                num_frames_real=f, tile=tile_sz,
+                max_sweeps=cfg.clustering.max_label_sweeps,
+                k_pad=k_pad)
+            labels_fc, num_clusters, converged, _state, _records, stats = \
+                step(xyi, count, positions)
+            max_cand = int(stats["max_cand"])
+            if max_cand > k_pad:
+                k_pad = 1 << (max_cand - 1).bit_length()
+                _SHARD_KPAD_CACHE[kk] = k_pad
+                continue
+            _SHARD_KPAD_CACHE[kk] = k_pad
+            if not bool(converged):
+                raise RuntimeError(
+                    "distributed label propagation hit max_label_sweeps "
+                    f"({cfg.clustering.max_label_sweeps}) before "
+                    "converging; raise clustering.max_label_sweeps")
+            break
+        num_clusters = int(num_clusters)
+
+    with timer.stage("gather"):
+        kept_count = np.asarray(stats["kept_count"])[:f]
+        n_points = int(kept_count.sum())
+        cap = _quarter_pow2(n_points)
+        compacted = _compact_sharded_result(
+            ingested.xyi, ingested.gain, jnp.asarray(ingested.frame_ids),
+            labels_fc[:f], stats["keep"][:f], cap)
+        points = compacted[:, :6]
+        labels = compacted[:, 6].astype(jnp.int32)
+
+    with timer.stage("stats"):
+        pvalid = jnp.arange(cap) < n_points
+        sig = int(jnp.sum((labels >= 0) & pvalid))
+        noise = n_points - sig
+        den_stats = {
+            "total_points": n_points,
+            "noise_points": noise,
+            "signal_points": sig,
+            "num_clusters": num_clusters,
+            "noise_reduction_pct": 100.0 * noise / max(n_points, 1),
+        }
+        cluster_table = _global_cluster_table(
+            points[:, :2], points[:, 2], labels, pvalid, num_clusters)
+
+    return DenoiseResult(
+        points_dev=points,
+        labels_dev=labels,
+        n_points=n_points,
+        num_clusters=num_clusters,
+        stats=den_stats,
+        cluster_table=cluster_table,
+        frame_ids=ingested.frame_ids,
+        timings=timer.report(),
+    )
+
+
 def run_denoising_pipeline(
     data_dir: Path,
     output_dir: Path,
@@ -183,8 +294,12 @@ def run_denoising_pipeline(
     point_stride: int = 4,
     config: Optional[PipelineConfig] = None,
     verbose: bool = True,
+    devices: int = 0,
 ) -> DenoiseResult:
-    """Full denoising pipeline from a gain_XX tree to artifacts."""
+    """Full denoising pipeline from a gain_XX tree to artifacts.
+
+    ``devices`` > 1 shards the clustering over a frame-axis device mesh
+    (:func:`denoise_frames_sharded`); 0/1 runs the single-chip engine."""
     cfg = config or PipelineConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -219,8 +334,13 @@ def run_denoising_pipeline(
     log("\n[4/5] Applying ST-DBSCAN clustering for denoising...")
     log(f"  Parameters: eps_space={eps_space}, eps_time={eps_time}, "
         f"min_samples={min_samples}, min_frames={min_frames}")
-    result = denoise_frames(ingested, eps_space, eps_time, min_samples,
-                            min_frames, cfg, verbose=verbose)
+    if devices and devices > 1:
+        result = denoise_frames_sharded(
+            ingested, eps_space, eps_time, min_samples, min_frames, cfg,
+            n_devices=devices, verbose=verbose)
+    else:
+        result = denoise_frames(ingested, eps_space, eps_time, min_samples,
+                                min_frames, cfg, verbose=verbose)
     st = result.stats
     log(f"    Total points:      {st['total_points']:,}")
     log(f"    Noise (removed):   {st['noise_points']:,} "

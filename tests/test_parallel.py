@@ -316,3 +316,33 @@ def test_user_surface_sharded_matches_single_chip(mesh8, gain_dataset,
         a = (tmp_path / "single" / name).read_text()
         b = (tmp_path / "sharded" / name).read_text()
         assert a == b, f"{name} differs between single-chip and sharded"
+
+
+def test_denoise_frames_sharded_matches_single_chip():
+    """The user-surface sharded denoiser (denoise_frames_sharded — frame-
+    INDEX time axis, min_frames persistence, if_earlier borders, no land
+    filter) must reproduce the single-chip denoiser exactly, including a
+    frame count not divisible by the mesh (13 over 6 shards)."""
+    from radar_point_cloud_tracking_tpu.config import PipelineConfig
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        denoise_frames, denoise_frames_sharded)
+
+    xyi, count, frame_ids = _synthetic_frames(f=13, c=64, seed=3)
+    # non-contiguous real frame ids: the denoiser's time axis must be the
+    # POSITION, not the id, and ids must still ride into the artifacts
+    ingested = _ingested_from_frames(xyi, count, frame_ids * 7 + 3)
+    cfg = PipelineConfig()
+
+    ref = denoise_frames(ingested, 3.0, 2.0, 5, 2, cfg, verbose=False)
+    out = denoise_frames_sharded(ingested, 3.0, 2.0, 5, 2, cfg,
+                                 n_devices=6, verbose=False)
+    assert out.num_clusters == ref.num_clusters
+    assert out.n_points == ref.n_points
+    assert np.array_equal(out.labels, ref.labels)
+    assert np.allclose(out.points, ref.points)
+    assert out.stats == ref.stats
+    want = sorted((r["cluster_id"], r["num_points"])
+                  for r in ref.cluster_table)
+    got = sorted((r["cluster_id"], r["num_points"])
+                 for r in out.cluster_table)
+    assert got == want
