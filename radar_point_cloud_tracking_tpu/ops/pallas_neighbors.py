@@ -536,7 +536,8 @@ def min_sweep_pallas_dma(
 # directed candidate fetching one).
 
 
-def _make_sym_stats_kernel(p_pad: int, tile: int):
+def _make_sym_stats_kernel(p_pad: int, tile: int,
+                          has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, deg_ref, partial_ref,
                fbuf, sems):
@@ -591,8 +592,12 @@ def _make_sym_stats_kernel(p_pad: int, tile: int):
             dx = xa[:, None] - xb[None, :]
             dy = ya[:, None] - yb[None, :]
             dt = tb[None, :] - ta[:, None]
+            d2 = dx * dx + dy * dy
+            if has_z:
+                dz = fbuf[slot, 0, 6][:, None] - fbuf[slot, 1, 6][None, :]
+                d2 = d2 + dz * dz
             # sentinel-coordinate invalid points need no validity operands
-            mask = ((dx * dx + dy * dy <= eps2) & (jnp.abs(dt) <= eps_t))
+            mask = ((d2 <= eps2) & (jnp.abs(dt) <= eps_t))
             deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(mask, axis=1,
                                                     dtype=jnp.int32)
 
@@ -605,7 +610,8 @@ def _make_sym_stats_kernel(p_pad: int, tile: int):
     return kernel
 
 
-def _make_sym_min_kernel(p_pad: int, tile: int, use_limit: bool = False):
+def _make_sym_min_kernel(p_pad: int, tile: int, use_limit: bool = False,
+                        has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, acc_ref, partial_ref,
                fbuf, sems):
@@ -661,7 +667,11 @@ def _make_sym_min_kernel(p_pad: int, tile: int, use_limit: bool = False):
             dx = xa[:, None] - xb[None, :]
             dy = ya[:, None] - yb[None, :]
             dt = tb[None, :] - ta[:, None]
-            mask = ((dx * dx + dy * dy <= eps2) & (jnp.abs(dt) <= eps_t))
+            d2 = dx * dx + dy * dy
+            if has_z:
+                dz = fbuf[slot, 0, 6][:, None] - fbuf[slot, 1, 6][None, :]
+                d2 = d2 + dz * dz
+            mask = ((d2 <= eps2) & (jnp.abs(dt) <= eps_t))
             if use_limit:
                 # a neighbor participates only when its payload is strictly
                 # below the QUERY point's limit, or it carries the bypass
@@ -706,9 +716,10 @@ def _sym_fplanes(index: SpatialIndex,
                                              jnp.float32)
                 if a is not None else zf)
 
+    z = (index.coords[..., 2] if index.coords.shape[-1] >= 3 else zf)
     return jnp.stack([index.coords[..., 0], index.coords[..., 1],
                       index.times, bits(payload), bits(query_limit),
-                      bits(bypass_limit), zf, zf], axis=1)
+                      bits(bypass_limit), z, zf], axis=1)
 
 
 @jax.jit
@@ -743,7 +754,8 @@ def core_stats_pallas_sym(
     )
 
     deg_a, partial_b = pl.pallas_call(
-        _make_sym_stats_kernel(p_pad, t),
+        _make_sym_stats_kernel(p_pad, t,
+                               has_z=index.coords.shape[-1] >= 3),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                    jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
@@ -800,7 +812,8 @@ def min_sweep_pallas_sym(
     )
 
     acc_a, partial_b = pl.pallas_call(
-        _make_sym_min_kernel(p_pad, t, use_limit=use_limit),
+        _make_sym_min_kernel(p_pad, t, use_limit=use_limit,
+                             has_z=index.coords.shape[-1] >= 3),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                    jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),

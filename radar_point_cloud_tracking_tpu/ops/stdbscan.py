@@ -121,7 +121,7 @@ def _cc_step(
     full sweep when the index carries the pair list.  Returns (new labels,
     new label slots, this round's raw neighbor minima, changed?)."""
     n_sorted = label.size
-    if sym and index.pair_a is not None and index.coords.shape[-1] == 2:
+    if sym and index.pair_a is not None:
         from .pallas_neighbors import min_sweep_pallas_sym
 
         def sweep(ix, pay, es, et):
@@ -247,21 +247,16 @@ def _min_sweep_impl(use_pallas: bool):
 
     def sweep(index, payload, eps_space, eps_time, query_limit=None,
               bypass_limit=None, use_limit=False):
-        # 3D coords fall back to XLA; 2D prefers the symmetric-pair kernel
-        # when the index carries the pair list (covers the thresholded
-        # border sweep too), else the directed manual-DMA kernel for the
-        # unthresholded case
-        if index.coords.shape[-1] != 2:
-            return neighbor_min_sweep(index, payload, eps_space, eps_time,
-                                      query_limit=query_limit,
-                                      bypass_limit=bypass_limit,
-                                      use_limit=use_limit)
+        # the symmetric-pair kernel covers every case (2D/3D, thresholded
+        # border sweeps) when the index carries the pair list; without it,
+        # 2D unthresholded sweeps take the directed manual-DMA kernel and
+        # everything else falls back to XLA
         if index.pair_a is not None:
             return min_sweep_pallas_sym(index, payload, eps_space, eps_time,
                                         query_limit=query_limit,
                                         bypass_limit=bypass_limit,
                                         use_limit=use_limit)
-        if use_limit:
+        if use_limit or index.coords.shape[-1] != 2:
             return neighbor_min_sweep(index, payload, eps_space, eps_time,
                                       query_limit=query_limit,
                                       bypass_limit=bypass_limit,
@@ -278,16 +273,17 @@ def _core_stats(index: SpatialIndex, eps_space, eps_time, n_offsets: int,
     when the index carries the unordered pair list (each pair block
     evaluated once), else the manual-DMA directed kernel; other cases use
     the XLA engine."""
-    if use_pallas and n_offsets == 0 and index.coords.shape[-1] == 2:
-        if index.pair_a is not None:
+    if use_pallas and n_offsets == 0:
+        if index.pair_a is not None:  # symmetric engine covers 2D and 3D
             from .pallas_neighbors import core_stats_pallas_sym
 
             degree = core_stats_pallas_sym(index, eps_space, eps_time)
             return degree, jnp.zeros_like(degree)
-        from .pallas_neighbors import core_stats_pallas_dma
+        if index.coords.shape[-1] == 2:
+            from .pallas_neighbors import core_stats_pallas_dma
 
-        degree = core_stats_pallas_dma(index, eps_space, eps_time)
-        return degree, jnp.zeros_like(degree)
+            degree = core_stats_pallas_dma(index, eps_space, eps_time)
+            return degree, jnp.zeros_like(degree)
     return neighbor_core_stats(index, eps_space, eps_time,
                                n_offsets=n_offsets)
 
@@ -368,7 +364,7 @@ def st_dbscan_device(
     the convergence loop runs on device.  Returns (labels (N,) int32 —
     noise/padding -1, num_clusters).
     """
-    pairs = bool(use_pallas) and coords.shape[1] == 2
+    pairs = bool(use_pallas)
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size,
                                 premerge=premerge, pairs=pairs)
@@ -545,13 +541,19 @@ def st_dbscan(
     min_frames: int = 1,
     border_mode: str = "always",
     config: Optional[ClusteringConfig] = None,
+    use_pallas: Optional[bool] = None,
 ) -> np.ndarray:
     """Host-facing ST-DBSCAN (reference API parity, processors/
-    clustering.py:49-115): takes unpadded arrays, returns int32 labels."""
+    clustering.py:49-115): takes unpadded arrays, returns int32 labels.
+
+    ``use_pallas=None`` auto-selects the hybrid Pallas engine on the TPU
+    backend (the symmetric-pair kernels cover 2D and 3D)."""
     coords = np.asarray(coords, dtype=np.float32)
     n = coords.shape[0]
     if n == 0:
         return np.empty((0,), dtype=np.int32)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     tile = config.tile_size if config else 512
     tile = min(tile, max(64, 1 << (n - 1).bit_length()))
     labels, _ = st_dbscan_device(
@@ -560,5 +562,6 @@ def st_dbscan(
         min_frames=min_frames, border_mode=border_mode, tile=tile,
         cell_size=config.cell_size if config else None,
         max_sweeps=config.max_label_sweeps if config else 256,
-        premerge=config.premerge if config else False)
+        premerge=config.premerge if config else False,
+        use_pallas=bool(use_pallas))
     return np.asarray(labels)

@@ -166,3 +166,51 @@ def test_sym_limit_sweep_matches_directed(seed):
               use_limit=True)
     v = np.asarray(idx.valid)
     assert np.array_equal(np.asarray(got)[v], np.asarray(want)[v])
+
+
+def _scene3d(seed, n=800):
+    rng = np.random.default_rng(seed)
+    blobs = [np.column_stack([
+        rng.normal(rng.uniform(0, 120, 2), 2.5, (n // 5, 2)),
+        rng.uniform(0, 40, (n // 5, 1))]) for _ in range(3)]
+    rest = np.column_stack([rng.uniform(-20, 140, (n - 3 * (n // 5), 2)),
+                            rng.uniform(0, 40, (n - 3 * (n // 5), 1))])
+    coords = np.concatenate(blobs + [rest]).astype(np.float32)
+    times = rng.integers(0, 6, n).astype(np.float32)
+    valid = np.ones((n,), bool)
+    valid[rng.choice(n, n // 12, replace=False)] = False
+    return coords, times, valid
+
+
+def test_sym_degree_and_min_match_directed_3d():
+    coords, times, valid = _scene3d(21)
+    es, et = jnp.float32(6.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 6.0, 2.0, tile=64,
+                              pairs=True)
+    want, _ = neighbor_core_stats(idx, es, et, n_offsets=0)
+    got = core_stats_pallas_sym(idx, es, et)
+    v = np.asarray(idx.valid)
+    assert np.array_equal(np.asarray(got)[v], np.asarray(want)[v])
+    rng = np.random.default_rng(99)
+    pay_np = rng.integers(0, coords.shape[0], idx.valid.shape).astype(
+        np.int32)
+    pay_np[~v] = INT_MAX
+    payload = jnp.asarray(pay_np)
+    want_m = neighbor_min_sweep(idx, payload, es, et)
+    got_m = min_sweep_pallas_sym(idx, payload, es, et)
+    assert np.array_equal(np.asarray(got_m)[v], np.asarray(want_m)[v])
+
+
+def test_full_cluster_program_sym_engine_3d():
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import st_dbscan_device
+
+    coords, times, valid = _scene3d(23, n=1000)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            6.0, 2.0, 6)
+    base, kb = st_dbscan_device(*args, border_mode="always", tile=64,
+                                use_pallas=False)
+    sym, ks = st_dbscan_device(*args, border_mode="always", tile=64,
+                               use_pallas=True)
+    assert int(kb) == int(ks)
+    assert np.array_equal(np.asarray(base), np.asarray(sym))
