@@ -25,7 +25,7 @@ from ..ops import grid as grid_ops
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.geometry import PAD_COORD, compact_masked
 from ..ops.neighbors import build_spatial_index
-from ..ops.stdbscan import cluster_index
+from ..ops.stdbscan import cluster_index, sym_engine_ok
 from ..ops.tracking import (
     TYPE_BOAT,
     TYPE_BUOY,
@@ -619,7 +619,7 @@ class TrackingPipeline:
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
                 k_pad=k_hint, premerge=cfg.clustering.premerge,
-                pairs=use_pallas, p_pad=p_hint)
+                pairs=use_pallas and sym_engine_ok(), p_pad=p_hint)
             while True:
                 labels, num_clusters = cluster_index(
                     index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -652,7 +652,7 @@ class TrackingPipeline:
                         eps_time, tile=tile_sz,
                         cell_size=cfg.clustering.cell_size,
                         premerge=cfg.clustering.premerge,
-                        pairs=use_pallas)
+                        pairs=use_pallas and sym_engine_ok())
                     continue
                 break
             # pow2 buckets keep the compiled shapes stable across runs

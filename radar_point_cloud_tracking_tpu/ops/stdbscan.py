@@ -51,7 +51,76 @@ from .neighbors import (
     neighbor_min_sweep_gated,
 )
 
-__all__ = ["st_dbscan_device", "st_dbscan", "compute_core_mask"]
+__all__ = ["st_dbscan_device", "st_dbscan", "compute_core_mask",
+           "sym_engine_ok"]
+
+# one-time per-process verdict of the symmetric-pair Pallas engine on the
+# active backend: None = not probed yet
+_SYM_STATUS: Optional[bool] = None
+
+
+def sym_engine_ok() -> bool:
+    """Probe the symmetric-pair Pallas kernels ONCE on the active backend:
+    compile + run all three variants (degree stats, min sweep, thresholded
+    min sweep) on a tiny deterministic scene and compare against the XLA
+    engine.  A Mosaic rejection or a numeric mismatch disables the
+    symmetric engine for the process (callers then build indexes without
+    the pair list, falling back to the directed manual-DMA/XLA hybrid) —
+    an unvalidated kernel must never be able to take down or corrupt a
+    production run."""
+    global _SYM_STATUS
+    if _SYM_STATUS is not None:
+        return _SYM_STATUS
+    if jax.default_backend() != "tpu":
+        _SYM_STATUS = True  # interpret mode, exercised by the test suite
+        return True
+    try:
+        from .pallas_neighbors import (core_stats_pallas_sym,
+                                       min_sweep_pallas_sym)
+
+        rng = np.random.default_rng(12345)
+        n = 512
+        coords = jnp.asarray(rng.uniform(0, 60, (n, 2)), jnp.float32)
+        times = jnp.asarray(rng.integers(0, 5, n), jnp.float32)
+        valid = jnp.asarray(rng.random(n) < 0.9)
+        es, et = jnp.float32(6.0), jnp.float32(2.0)
+        idx = build_spatial_index(coords, times, valid, 6.0, 2.0, tile=64,
+                                  pairs=True)
+        v = np.asarray(idx.valid)
+        deg_s = np.asarray(core_stats_pallas_sym(idx, es, et))
+        deg_x = np.asarray(neighbor_core_stats(idx, es, et, n_offsets=0)[0])
+        ok = bool(np.array_equal(deg_s[v], deg_x[v]))
+        pay = np.asarray(rng.integers(0, n, idx.valid.shape), np.int32)
+        pay[~v] = INT_MAX
+        pay = jnp.asarray(pay)
+        min_s = np.asarray(min_sweep_pallas_sym(idx, pay, es, et))
+        min_x = np.asarray(neighbor_min_sweep(idx, pay, es, et))
+        ok = ok and bool(np.array_equal(min_s[v], min_x[v]))
+        qlim = jnp.asarray(rng.integers(0, n, idx.valid.shape), jnp.int32)
+        byp = jnp.asarray(rng.random(idx.valid.shape) < 0.2)
+        lim_s = np.asarray(min_sweep_pallas_sym(
+            idx, pay, es, et, query_limit=qlim, bypass_limit=byp,
+            use_limit=True))
+        lim_x = np.asarray(neighbor_min_sweep(
+            idx, pay, es, et, query_limit=qlim, bypass_limit=byp,
+            use_limit=True))
+        ok = ok and bool(np.array_equal(lim_s[v], lim_x[v]))
+        _SYM_STATUS = ok
+        if not ok:
+            import warnings
+
+            warnings.warn(
+                "symmetric-pair Pallas engine produced mismatched results "
+                "on this backend; falling back to the directed kernels")
+    except Exception as e:  # Mosaic rejection, OOM, anything
+        import warnings
+
+        warnings.warn(
+            f"symmetric-pair Pallas engine unavailable on this backend "
+            f"({type(e).__name__}: {e}); falling back to the directed "
+            "kernels")
+        _SYM_STATUS = False
+    return _SYM_STATUS
 
 
 @jax.jit
@@ -364,7 +433,7 @@ def st_dbscan_device(
     the convergence loop runs on device.  Returns (labels (N,) int32 —
     noise/padding -1, num_clusters).
     """
-    pairs = bool(use_pallas)
+    pairs = bool(use_pallas) and sym_engine_ok()
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size,
                                 premerge=premerge, pairs=pairs)
