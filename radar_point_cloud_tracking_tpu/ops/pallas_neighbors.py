@@ -825,3 +825,152 @@ def min_sweep_pallas_sym(
     out = jnp.minimum(acc_a.reshape(nt, t), min_b)
     # unvisited blocks (all-invalid tiles) hold garbage; mask to INT_MAX
     return jnp.where(index.valid, out, INT_MAX)
+
+
+def _make_sym_stats_mf_kernel(p_pad: int, tile: int, n_offsets: int,
+                              has_z: bool = False):
+    """Symmetric degree + frame-presence kernel (min_frames core test).
+
+    The b side cannot OR a bitmask through an XLA scatter (no bitwise-or
+    scatter), so per-offset presence emits as 0/1 PLANES in the per-pair
+    partial block — for 0/1 values a row scatter-max IS the or-reduction.
+    Partial rows: [deg, presence(-k)..presence(+k)]; needs 1 + (2k+1) <= 8
+    rows, i.e. n_offsets <= 3."""
+    ki = n_offsets
+    assert 1 + (2 * ki + 1) <= 8
+
+    def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
+               eps_ref, deg_ref, bits_ref, partial_ref,
+               fbuf, sems):
+        p = pl.program_id(0)
+        live = p < cnt_ref[0]
+        a = pa_ref[p]
+        b = pb_ref[p]
+
+        def start_fetch(slot, k):
+            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                                  fbuf.at[slot, 0], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                                  fbuf.at[slot, 1], sems.at[slot, 1]).start()
+
+        def wait_fetch(slot, k):
+            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                                  fbuf.at[slot, 0], sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                                  fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+
+        @pl.when(p == 0)
+        def _():
+            start_fetch(0, 0)
+
+        @pl.when(p + 1 < p_pad)
+        def _():
+            start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+
+        first = jnp.logical_or(p == 0, a != pa_ref[jnp.maximum(p - 1, 0)])
+
+        @pl.when(first)
+        def _():
+            deg_ref[...] = jnp.zeros_like(deg_ref)
+            bits_ref[...] = jnp.zeros_like(bits_ref)
+
+        slot = jax.lax.rem(p, 2)
+        wait_fetch(slot, p)
+        partial_ref[...] = jnp.zeros_like(partial_ref)
+
+        @pl.when(live)
+        def _():
+            eps2 = eps_ref[0, 0]
+            eps_t = eps_ref[0, 1]
+            xa = fbuf[slot, 0, 0]
+            ya = fbuf[slot, 0, 1]
+            ta = fbuf[slot, 0, 2]
+            xb = fbuf[slot, 1, 0]
+            yb = fbuf[slot, 1, 1]
+            tb = fbuf[slot, 1, 2]
+            dx = xa[:, None] - xb[None, :]
+            dy = ya[:, None] - yb[None, :]
+            dt = tb[None, :] - ta[:, None]
+            d2 = dx * dx + dy * dy
+            if has_z:
+                dz = fbuf[slot, 0, 6][:, None] - fbuf[slot, 1, 6][None, :]
+                d2 = d2 + dz * dz
+            mask = ((d2 <= eps2) & (jnp.abs(dt) <= eps_t))
+            deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(mask, axis=1,
+                                                    dtype=jnp.int32)
+            dti = jnp.round(dt).astype(jnp.int32)
+            bits = bits_ref[0, 0]
+            for off in range(-ki, ki + 1):
+                hit_a = jnp.any(mask & (dti == off), axis=1)
+                bits = bits | jnp.where(hit_a, np.int32(1 << (off + ki)),
+                                        0).astype(jnp.int32)
+            bits_ref[0, 0] = bits
+
+            @pl.when(a != b)
+            def _():
+                partial_ref[0, 0] = jnp.sum(mask, axis=0, dtype=jnp.int32)
+                # b-side presence: b queries a, so the offset negates
+                for off in range(-ki, ki + 1):
+                    hit_b = jnp.any(mask & (dti == -off), axis=0)
+                    partial_ref[0, 1 + off + ki] = hit_b.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_offsets",))
+def core_stats_pallas_sym_mf(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    n_offsets: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric-pair degree + frame-count sweep (min_frames variant).
+    Returns (degree, frame_count) like neighbors.neighbor_core_stats."""
+    from .neighbors import _popcount
+
+    nt, t = index.num_tiles, index.tile
+    p_pad = index.pair_a.shape[0]
+    ki = n_offsets
+    fplanes = _sym_fplanes(index, None)
+    eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(p_pad,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
+            pl.BlockSpec((1, 8, t), lambda p, pa, pb, cnt: (p, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    deg_a, bits_a, partial = pl.pallas_call(
+        _make_sym_stats_mf_kernel(p_pad, t, ki,
+                                  has_z=index.coords.shape[-1] >= 3),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                   jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                   jax.ShapeDtypeStruct((p_pad, 8, t), jnp.int32)),
+        interpret=_interpret(),
+    )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
+      fplanes, eps)
+    deg_b = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].add(
+        partial[:, 0], mode="drop")
+    deg = jnp.where(index.valid, deg_a.reshape(nt, t) + deg_b, 0)
+    # presence planes are 0/1, so scatter-max is the or-reduction; fold
+    # them back into a bitmask and popcount alongside the a-side bits
+    bits = bits_a.reshape(nt, t)
+    for k in range(2 * ki + 1):
+        pk = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].max(
+            partial[:, 1 + k], mode="drop")
+        bits = bits | (pk << k)
+    frame_count = jnp.where(index.valid, _popcount(bits), 0)
+    return deg, frame_count

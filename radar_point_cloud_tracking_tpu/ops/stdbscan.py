@@ -105,6 +105,13 @@ def sym_engine_ok() -> bool:
             idx, pay, es, et, query_limit=qlim, bypass_limit=byp,
             use_limit=True))
         ok = ok and bool(np.array_equal(lim_s[v], lim_x[v]))
+        from .pallas_neighbors import core_stats_pallas_sym_mf
+
+        dmf_s, fmf_s = core_stats_pallas_sym_mf(idx, es, et, 2)
+        dmf_x, fmf_x = neighbor_core_stats(idx, es, et, n_offsets=2)
+        ok = ok and bool(
+            np.array_equal(np.asarray(dmf_s)[v], np.asarray(dmf_x)[v])
+            and np.array_equal(np.asarray(fmf_s)[v], np.asarray(fmf_x)[v]))
         _SYM_STATUS = ok
         if not ok:
             import warnings
@@ -342,13 +349,19 @@ def _core_stats(index: SpatialIndex, eps_space, eps_time, n_offsets: int,
     when the index carries the unordered pair list (each pair block
     evaluated once), else the manual-DMA directed kernel; other cases use
     the XLA engine."""
-    if use_pallas and n_offsets == 0:
+    if use_pallas:
         if index.pair_a is not None:  # symmetric engine covers 2D and 3D
-            from .pallas_neighbors import core_stats_pallas_sym
+            if n_offsets == 0:
+                from .pallas_neighbors import core_stats_pallas_sym
 
-            degree = core_stats_pallas_sym(index, eps_space, eps_time)
-            return degree, jnp.zeros_like(degree)
-        if index.coords.shape[-1] == 2:
+                degree = core_stats_pallas_sym(index, eps_space, eps_time)
+                return degree, jnp.zeros_like(degree)
+            if n_offsets <= 3:  # 1 + (2k+1) partial rows must fit 8
+                from .pallas_neighbors import core_stats_pallas_sym_mf
+
+                return core_stats_pallas_sym_mf(index, eps_space, eps_time,
+                                                n_offsets)
+        elif n_offsets == 0 and index.coords.shape[-1] == 2:
             from .pallas_neighbors import core_stats_pallas_dma
 
             degree = core_stats_pallas_dma(index, eps_space, eps_time)

@@ -214,3 +214,23 @@ def test_full_cluster_program_sym_engine_3d():
                                use_pallas=True)
     assert int(kb) == int(ks)
     assert np.array_equal(np.asarray(base), np.asarray(sym))
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_sym_stats_min_frames_matches_directed(seed):
+    """The min_frames symmetric stats kernel: degree AND frame-presence
+    count must match the directed engine (per-offset presence planes
+    or-reduce via 0/1 scatter-max)."""
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        core_stats_pallas_sym_mf)
+
+    coords, times, valid = _scene(seed)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    want_d, want_f = neighbor_core_stats(idx, es, et, n_offsets=2)
+    got_d, got_f = core_stats_pallas_sym_mf(idx, es, et, 2)
+    v = np.asarray(idx.valid)
+    assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
+    assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
