@@ -100,6 +100,35 @@ def _wait_for_device():
         time.sleep(min(120.0, max(10.0, remaining)))
 
 
+def _handshake():
+    """In-process device handshake with outage recovery: try directly (no
+    extra cost on a healthy tunnel); on failure, wait out the outage with
+    subprocess probes and RE-EXEC the bench in a child — jax caches a
+    failed backend init for the process lifetime, so this process can
+    never retry itself."""
+    t0 = time.perf_counter()
+    try:
+        import jax.numpy as jnp
+
+        np.asarray(jnp.ones(8))
+    except Exception as e:
+        log(f"device init failed ({type(e).__name__}: {e})")
+        if os.environ.get("_BENCH_REEXEC") == "1":
+            raise  # the child already waited once; give up loudly
+        import subprocess
+
+        _wait_for_device()
+        env = dict(os.environ)
+        env["_BENCH_REEXEC"] = "1"
+        # rebuild from __file__ (argv is unusable under `python -c`); the
+        # bench mode rides entirely on env vars
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env)
+        sys.exit(rc)
+    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+
+
 # committed (in-repo) bench records, keyed by dataset signature: the
 # full-sequence oracle labels/track record and the literal-reference wall
 # time survive a fresh clone, so the exactness assert never silently skips
@@ -428,10 +457,7 @@ def run_denoise_bench():
     cpu_repeats = max(1, int(os.environ.get("BENCH_CPU_REPEATS", "3")))
     tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "3")))
 
-    _wait_for_device()
-    t0 = time.perf_counter()
-    np.asarray(jnp.ones(8))
-    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+    _handshake()
     data_dir = _dataset(num_frames)
 
     _, prefix_result = run_tpu_denoise(data_dir, cpu_frames, "prefix")
@@ -553,10 +579,7 @@ def run_envelope():
     from radar_point_cloud_tracking_tpu.reference_impl.oracle import (
         oracle_st_dbscan)
 
-    _wait_for_device()
-    t0 = time.perf_counter()
-    np.asarray(jnp.ones(8))
-    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+    _handshake()
 
     base = Path(__file__).resolve().parent / ".bench_data" / "ply10m"
     ply = _envelope_ply(base / "envelope_10m_v2.ply")
@@ -626,10 +649,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    _wait_for_device()
-    t0 = time.perf_counter()
-    np.asarray(jnp.ones(8))  # once-per-process tunnel handshake
-    log(f"device handshake {time.perf_counter() - t0:.1f}s")
+    _handshake()
 
     data_dir = _dataset(num_frames)
 

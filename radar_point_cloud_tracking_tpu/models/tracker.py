@@ -612,14 +612,17 @@ class TrackingPipeline:
                           and jax.default_backend() == "tpu")
             tile_sz = cfg.clustering.tile_size
             ck = (int(capacity), tile_sz, float(eps_space), float(eps_time),
-                  cfg.clustering.cell_size)
+                  cfg.clustering.cell_size, bool(cfg.clustering.premerge))
             hints = _KPAD_CACHE.get(ck)
             k_hint, p_hint = hints if hints else (None, None)
+            if not p_hint:
+                p_hint = None
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
                 k_pad=k_hint, premerge=cfg.clustering.premerge,
-                pairs=use_pallas and sym_engine_ok(), p_pad=p_hint)
+                pairs=use_pallas and sym_engine_ok(tile=tile_sz),
+                p_pad=p_hint)
             while True:
                 labels, num_clusters = cluster_index(
                     index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -652,19 +655,23 @@ class TrackingPipeline:
                         eps_time, tile=tile_sz,
                         cell_size=cfg.clustering.cell_size,
                         premerge=cfg.clustering.premerge,
-                        pairs=use_pallas and sym_engine_ok())
+                        pairs=use_pallas and sym_engine_ok(tile=tile_sz))
                     continue
                 break
             # pow2 buckets keep the compiled shapes stable across runs
             kp = 1
             while kp < max(max_cand, 1):
                 kp *= 2
-            pp = 1
-            while pp < max(n_pairs, 1):
-                pp *= 2
-            if index.pair_a is None and hints:
-                pp = max(pp, hints[1])  # a non-pallas run must not shrink
-                # the pair hint a pallas run recorded for the same key
+            from ..ops.neighbors import quarter_pow2_bucket
+
+            if index.pair_a is not None:
+                pp = quarter_pow2_bucket(n_pairs)
+            else:
+                # pairs weren't built this run (non-pallas): keep whatever
+                # hint a pallas run recorded; 0 = unknown, which makes the
+                # next pallas run take the single-sync exact path instead
+                # of a guaranteed-overflow guess
+                pp = hints[1] if hints else 0
             _KPAD_CACHE[ck] = (kp, pp)
             num_clusters, n_points = int(trip[0]), int(trip[1])
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")

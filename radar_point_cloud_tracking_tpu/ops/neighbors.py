@@ -207,6 +207,19 @@ def _tile_pair_mask(lo, hi, tlo, thi, eps_space, eps_time):
     return space_ok & time_ok & nonempty[:, None] & nonempty[None, :]
 
 
+def quarter_pow2_bucket(n: int, floor: int = 64) -> int:
+    """Smallest quarter-power-of-two >= n: bounds compiled-shape churn
+    while capping padding at 25% (pure pow2 wastes up to 2x — at the
+    denoise flagship's ~294k pairs that is ~1 GB of per-pair partial
+    buffer per symmetric sweep)."""
+    n = max(n, 1)
+    if n <= floor:
+        return floor
+    half = 1 << ((n - 1).bit_length() - 1)
+    step = max(half // 4, 1)
+    return half + -(-(n - half) // step) * step
+
+
 @functools.partial(jax.jit, static_argnames=("p_pad",))
 def _pairs_from_candidates(cand_idx, cand_count, p_pad):
     """Unordered tile-pair list (a <= b, self pairs included once) compacted
@@ -301,9 +314,7 @@ def build_spatial_index(
                 k_pad *= 2
             k_pad = min(k_pad, num_tiles)
         if pairs and p_pad is None:
-            p_pad = 1
-            while p_pad < max(p_true, 1):
-                p_pad *= 2
+            p_pad = quarter_pow2_bucket(p_true)
     k_pad = min(k_pad, num_tiles)
     cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
     qorder = jnp.argsort(cand_count, stable=True).astype(jnp.int32)

@@ -536,8 +536,27 @@ def min_sweep_pallas_dma(
 # directed candidate fetching one).
 
 
-def _make_sym_stats_kernel(p_pad: int, tile: int,
-                          has_z: bool = False):
+def _pair_fetchers(pa_ref, pb_ref, fplanes_hbm, fbuf, sems):
+    """start/wait closures for the symmetric kernels' double-buffered
+    per-pair DMA (two tile streams per pair, slots alternate per grid
+    step) — ONE copy of the protocol shared by every symmetric kernel."""
+
+    def start_fetch(slot, k):
+        pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                              fbuf.at[slot, 0], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                              fbuf.at[slot, 1], sems.at[slot, 1]).start()
+
+    def wait_fetch(slot, k):
+        pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
+                              fbuf.at[slot, 0], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
+                              fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+
+    return start_fetch, wait_fetch
+
+
+def _make_sym_stats_kernel(p_pad: int, has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, deg_ref, partial_ref,
                fbuf, sems):
@@ -546,17 +565,8 @@ def _make_sym_stats_kernel(p_pad: int, tile: int,
         a = pa_ref[p]
         b = pb_ref[p]
 
-        def start_fetch(slot, k):
-            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
-                                  fbuf.at[slot, 0], sems.at[slot, 0]).start()
-            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
-                                  fbuf.at[slot, 1], sems.at[slot, 1]).start()
-
-        def wait_fetch(slot, k):
-            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
-                                  fbuf.at[slot, 0], sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
-                                  fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+        start_fetch, wait_fetch = _pair_fetchers(
+            pa_ref, pb_ref, fplanes_hbm, fbuf, sems)
 
         @pl.when(p == 0)
         def _():
@@ -610,8 +620,8 @@ def _make_sym_stats_kernel(p_pad: int, tile: int,
     return kernel
 
 
-def _make_sym_min_kernel(p_pad: int, tile: int, use_limit: bool = False,
-                        has_z: bool = False):
+def _make_sym_min_kernel(p_pad: int, use_limit: bool = False,
+                         has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, acc_ref, partial_ref,
                fbuf, sems):
@@ -619,17 +629,8 @@ def _make_sym_min_kernel(p_pad: int, tile: int, use_limit: bool = False,
         live = p < cnt_ref[0]
         a = pa_ref[p]
 
-        def start_fetch(slot, k):
-            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
-                                  fbuf.at[slot, 0], sems.at[slot, 0]).start()
-            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
-                                  fbuf.at[slot, 1], sems.at[slot, 1]).start()
-
-        def wait_fetch(slot, k):
-            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
-                                  fbuf.at[slot, 0], sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
-                                  fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+        start_fetch, wait_fetch = _pair_fetchers(
+            pa_ref, pb_ref, fplanes_hbm, fbuf, sems)
 
         @pl.when(p == 0)
         def _():
@@ -754,7 +755,7 @@ def core_stats_pallas_sym(
     )
 
     deg_a, partial_b = pl.pallas_call(
-        _make_sym_stats_kernel(p_pad, t,
+        _make_sym_stats_kernel(p_pad,
                                has_z=index.coords.shape[-1] >= 3),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
@@ -812,7 +813,7 @@ def min_sweep_pallas_sym(
     )
 
     acc_a, partial_b = pl.pallas_call(
-        _make_sym_min_kernel(p_pad, t, use_limit=use_limit,
+        _make_sym_min_kernel(p_pad, use_limit=use_limit,
                              has_z=index.coords.shape[-1] >= 3),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
@@ -827,37 +828,30 @@ def min_sweep_pallas_sym(
     return jnp.where(index.valid, out, INT_MAX)
 
 
-def _make_sym_stats_mf_kernel(p_pad: int, tile: int, n_offsets: int,
+def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
                               has_z: bool = False):
     """Symmetric degree + frame-presence kernel (min_frames core test).
 
     The b side cannot OR a bitmask through an XLA scatter (no bitwise-or
-    scatter), so per-offset presence emits as 0/1 PLANES in the per-pair
-    partial block — for 0/1 values a row scatter-max IS the or-reduction.
-    Partial rows: [deg, presence(-k)..presence(+k)]; needs 1 + (2k+1) <= 8
-    rows, i.e. n_offsets <= 3."""
+    scatter), so it emits the per-pair presence BITMASK as one (1, 1, T)
+    partial row; the wrapper extracts each bit ((mask >> k) & 1 is 0/1,
+    where a row scatter-max IS the or-reduction) — one int32 row per pair
+    instead of per-offset planes, keeping the partial buffer the same size
+    as the other symmetric kernels' (~1 GB, not ~8.6 GB, at the
+    denoise-flagship scale).  n_offsets <= 15 (bitmask width)."""
     ki = n_offsets
-    assert 1 + (2 * ki + 1) <= 8
+    assert 2 * ki + 1 <= 31
 
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
-               eps_ref, deg_ref, bits_ref, partial_ref,
+               eps_ref, deg_ref, bits_ref, pdeg_ref, pbits_ref,
                fbuf, sems):
         p = pl.program_id(0)
         live = p < cnt_ref[0]
         a = pa_ref[p]
         b = pb_ref[p]
 
-        def start_fetch(slot, k):
-            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
-                                  fbuf.at[slot, 0], sems.at[slot, 0]).start()
-            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
-                                  fbuf.at[slot, 1], sems.at[slot, 1]).start()
-
-        def wait_fetch(slot, k):
-            pltpu.make_async_copy(fplanes_hbm.at[pa_ref[k]],
-                                  fbuf.at[slot, 0], sems.at[slot, 0]).wait()
-            pltpu.make_async_copy(fplanes_hbm.at[pb_ref[k]],
-                                  fbuf.at[slot, 1], sems.at[slot, 1]).wait()
+        start_fetch, wait_fetch = _pair_fetchers(
+            pa_ref, pb_ref, fplanes_hbm, fbuf, sems)
 
         @pl.when(p == 0)
         def _():
@@ -876,7 +870,8 @@ def _make_sym_stats_mf_kernel(p_pad: int, tile: int, n_offsets: int,
 
         slot = jax.lax.rem(p, 2)
         wait_fetch(slot, p)
-        partial_ref[...] = jnp.zeros_like(partial_ref)
+        pdeg_ref[...] = jnp.zeros_like(pdeg_ref)
+        pbits_ref[...] = jnp.zeros_like(pbits_ref)
 
         @pl.when(live)
         def _():
@@ -900,19 +895,21 @@ def _make_sym_stats_mf_kernel(p_pad: int, tile: int, n_offsets: int,
                                                     dtype=jnp.int32)
             dti = jnp.round(dt).astype(jnp.int32)
             bits = bits_ref[0, 0]
+            bits_b = jnp.zeros_like(bits)
             for off in range(-ki, ki + 1):
                 hit_a = jnp.any(mask & (dti == off), axis=1)
                 bits = bits | jnp.where(hit_a, np.int32(1 << (off + ki)),
                                         0).astype(jnp.int32)
+                # b-side presence: b queries a, so the offset negates
+                hit_b = jnp.any(mask & (dti == -off), axis=0)
+                bits_b = bits_b | jnp.where(
+                    hit_b, np.int32(1 << (off + ki)), 0).astype(jnp.int32)
             bits_ref[0, 0] = bits
 
             @pl.when(a != b)
             def _():
-                partial_ref[0, 0] = jnp.sum(mask, axis=0, dtype=jnp.int32)
-                # b-side presence: b queries a, so the offset negates
-                for off in range(-ki, ki + 1):
-                    hit_b = jnp.any(mask & (dti == -off), axis=0)
-                    partial_ref[0, 1 + off + ki] = hit_b.astype(jnp.int32)
+                pdeg_ref[0, 0] = jnp.sum(mask, axis=0, dtype=jnp.int32)
+                pbits_ref[0, 0] = bits_b
 
     return kernel
 
@@ -944,7 +941,8 @@ def core_stats_pallas_sym_mf(
         out_specs=(
             pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
             pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
-            pl.BlockSpec((1, 8, t), lambda p, pa, pb, cnt: (p, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, 8, t), jnp.float32),
@@ -952,25 +950,27 @@ def core_stats_pallas_sym_mf(
         ],
     )
 
-    deg_a, bits_a, partial = pl.pallas_call(
-        _make_sym_stats_mf_kernel(p_pad, t, ki,
+    deg_a, bits_a, pdeg, pbits = pl.pallas_call(
+        _make_sym_stats_mf_kernel(p_pad, ki,
                                   has_z=index.coords.shape[-1] >= 3),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                    jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
-                   jax.ShapeDtypeStruct((p_pad, 8, t), jnp.int32)),
+                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32),
+                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
         interpret=_interpret(),
     )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
       fplanes, eps)
     deg_b = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].add(
-        partial[:, 0], mode="drop")
+        pdeg.reshape(p_pad, t), mode="drop")
     deg = jnp.where(index.valid, deg_a.reshape(nt, t) + deg_b, 0)
-    # presence planes are 0/1, so scatter-max is the or-reduction; fold
+    # extracted bits are 0/1, so scatter-max is the or-reduction; fold
     # them back into a bitmask and popcount alongside the a-side bits
     bits = bits_a.reshape(nt, t)
+    pb2 = pbits.reshape(p_pad, t)
     for k in range(2 * ki + 1):
         pk = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].max(
-            partial[:, 1 + k], mode="drop")
+            (pb2 >> k) & 1, mode="drop")
         bits = bits | (pk << k)
     frame_count = jnp.where(index.valid, _popcount(bits), 0)
     return deg, frame_count

@@ -54,42 +54,58 @@ from .neighbors import (
 __all__ = ["st_dbscan_device", "st_dbscan", "compute_core_mask",
            "sym_engine_ok"]
 
-# one-time per-process verdict of the symmetric-pair Pallas engine on the
-# active backend: None = not probed yet
-_SYM_STATUS: Optional[bool] = None
+# per-process verdicts of the symmetric-pair Pallas engine on the active
+# backend, keyed by the kernel-variant configuration actually requested
+_SYM_STATUS: dict = {}
 
 
-def sym_engine_ok() -> bool:
-    """Probe the symmetric-pair Pallas kernels ONCE on the active backend:
-    compile + run all three variants (degree stats, min sweep, thresholded
-    min sweep) on a tiny deterministic scene and compare against the XLA
-    engine.  A Mosaic rejection or a numeric mismatch disables the
-    symmetric engine for the process (callers then build indexes without
-    the pair list, falling back to the directed manual-DMA/XLA hybrid) —
-    an unvalidated kernel must never be able to take down or corrupt a
+def sym_engine_ok(tile: int = 512, has_z: bool = False,
+                  n_offsets: int = 0) -> bool:
+    """Probe the symmetric-pair Pallas kernels ONCE per configuration on
+    the active backend: compile + run the variants the caller will use
+    (degree stats or the min_frames variant, min sweep, thresholded min
+    sweep) at the caller's tile size and dimensionality on a tiny
+    deterministic scene, comparing against the XLA engine.  A Mosaic
+    rejection or a numeric mismatch disables the symmetric engine for
+    that configuration (callers then build indexes without the pair
+    list, falling back to the directed manual-DMA/XLA hybrid) — an
+    unvalidated kernel must never be able to take down or corrupt a
     production run."""
-    global _SYM_STATUS
-    if _SYM_STATUS is not None:
-        return _SYM_STATUS
+    mf = n_offsets if 1 <= n_offsets <= 3 else 0
+    key = (int(tile), bool(has_z), int(mf))
+    hit = _SYM_STATUS.get(key)
+    if hit is not None:
+        return hit
     if jax.default_backend() != "tpu":
-        _SYM_STATUS = True  # interpret mode, exercised by the test suite
+        _SYM_STATUS[key] = True  # interpret mode, exercised by the tests
         return True
     try:
         from .pallas_neighbors import (core_stats_pallas_sym,
+                                       core_stats_pallas_sym_mf,
                                        min_sweep_pallas_sym)
 
         rng = np.random.default_rng(12345)
-        n = 512
-        coords = jnp.asarray(rng.uniform(0, 60, (n, 2)), jnp.float32)
+        n = 4 * tile
+        d = 3 if has_z else 2
+        coords = jnp.asarray(rng.uniform(0, 60, (n, d)), jnp.float32)
         times = jnp.asarray(rng.integers(0, 5, n), jnp.float32)
         valid = jnp.asarray(rng.random(n) < 0.9)
         es, et = jnp.float32(6.0), jnp.float32(2.0)
-        idx = build_spatial_index(coords, times, valid, 6.0, 2.0, tile=64,
-                                  pairs=True)
+        idx = build_spatial_index(coords, times, valid, 6.0, 2.0,
+                                  tile=tile, pairs=True)
         v = np.asarray(idx.valid)
-        deg_s = np.asarray(core_stats_pallas_sym(idx, es, et))
-        deg_x = np.asarray(neighbor_core_stats(idx, es, et, n_offsets=0)[0])
-        ok = bool(np.array_equal(deg_s[v], deg_x[v]))
+        if mf:
+            dmf_s, fmf_s = core_stats_pallas_sym_mf(idx, es, et, mf)
+            dmf_x, fmf_x = neighbor_core_stats(idx, es, et, n_offsets=mf)
+            ok = bool(
+                np.array_equal(np.asarray(dmf_s)[v], np.asarray(dmf_x)[v])
+                and np.array_equal(np.asarray(fmf_s)[v],
+                                   np.asarray(fmf_x)[v]))
+        else:
+            deg_s = np.asarray(core_stats_pallas_sym(idx, es, et))
+            deg_x = np.asarray(
+                neighbor_core_stats(idx, es, et, n_offsets=0)[0])
+            ok = bool(np.array_equal(deg_s[v], deg_x[v]))
         pay = np.asarray(rng.integers(0, n, idx.valid.shape), np.int32)
         pay[~v] = INT_MAX
         pay = jnp.asarray(pay)
@@ -105,29 +121,22 @@ def sym_engine_ok() -> bool:
             idx, pay, es, et, query_limit=qlim, bypass_limit=byp,
             use_limit=True))
         ok = ok and bool(np.array_equal(lim_s[v], lim_x[v]))
-        from .pallas_neighbors import core_stats_pallas_sym_mf
-
-        dmf_s, fmf_s = core_stats_pallas_sym_mf(idx, es, et, 2)
-        dmf_x, fmf_x = neighbor_core_stats(idx, es, et, n_offsets=2)
-        ok = ok and bool(
-            np.array_equal(np.asarray(dmf_s)[v], np.asarray(dmf_x)[v])
-            and np.array_equal(np.asarray(fmf_s)[v], np.asarray(fmf_x)[v]))
-        _SYM_STATUS = ok
+        _SYM_STATUS[key] = ok
         if not ok:
             import warnings
 
             warnings.warn(
-                "symmetric-pair Pallas engine produced mismatched results "
-                "on this backend; falling back to the directed kernels")
+                f"symmetric-pair Pallas engine mismatched at {key}; "
+                "falling back to the directed kernels")
     except Exception as e:  # Mosaic rejection, OOM, anything
         import warnings
 
         warnings.warn(
-            f"symmetric-pair Pallas engine unavailable on this backend "
+            f"symmetric-pair Pallas engine unavailable at {key} "
             f"({type(e).__name__}: {e}); falling back to the directed "
             "kernels")
-        _SYM_STATUS = False
-    return _SYM_STATUS
+        _SYM_STATUS[key] = False
+    return _SYM_STATUS[key]
 
 
 @jax.jit
@@ -446,11 +455,12 @@ def st_dbscan_device(
     the convergence loop runs on device.  Returns (labels (N,) int32 —
     noise/padding -1, num_clusters).
     """
-    pairs = bool(use_pallas) and sym_engine_ok()
+    n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
+    pairs = bool(use_pallas) and sym_engine_ok(
+        tile=tile, has_z=coords.shape[1] >= 3, n_offsets=n_offsets)
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
                                 tile=tile, cell_size=cell_size,
                                 premerge=premerge, pairs=pairs)
-    n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
         int(min_samples), int(min_frames), n_offsets, border_mode,

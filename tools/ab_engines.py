@@ -48,34 +48,10 @@ def med(fn, reps, *args):
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 
-    import bench
-    import radar_point_cloud_tracking_tpu as rpt
-    from radar_point_cloud_tracking_tpu.config import PipelineConfig
-    from radar_point_cloud_tracking_tpu.models.ingest import FrameBatchLoader
-    from radar_point_cloud_tracking_tpu.models.tracker import (
-        TrackingPipeline, _quarter_pow2, _flatten_and_compact)
 
-    np.asarray(jnp.ones(8))
-    data_dir = bench._dataset(100)
-    cfg = PipelineConfig()
-    cfg.radar.num_echo_columns = bench.NUM_BINS
-    files = rpt.discover_files(data_dir)
-    frames = rpt.group_files_by_frame(files)[:100]
-    loader = FrameBatchLoader(cfg, intensity_threshold=10.0, point_stride=4,
-                              verbose=False, frame_capacity=131072)
-    TrackingPipeline(cfg, verbose=False)
-    lf = cfg.land_filter
-    ing, info = loader.load_sequence_land_filtered(
-        frames, grid_resolution_m=lf.grid_resolution_m,
-        persistence_threshold=lf.persistence_threshold,
-        min_intensity=lf.min_intensity,
-        min_frames_required=lf.min_frames_required)
-    n = int(ing.count_host.sum())
-    cap = _quarter_pow2(n)
-    points, n_dev = _flatten_and_compact(
-        ing.xyi, ing.gain, ing.count, jnp.asarray(ing.frame_ids),
-        ing.valid_mask().reshape(-1), cap)
-    jax.block_until_ready(points)
+    from tools._scene import load_bench_scene
+
+    points, n, cap, cfg = load_bench_scene(100)
     print(f"bench scene: {n:,} points, capacity {cap:,}")
 
     es, et = jnp.float32(8.0), jnp.float32(2.0)
