@@ -227,7 +227,7 @@ def denoise_frames_sharded(
                 min_frames=min_frames, border_mode="if_earlier",
                 num_frames_real=f, tile=tile_sz,
                 max_sweeps=cfg.clustering.max_label_sweeps,
-                k_pad=k_pad)
+                k_pad=k_pad, with_tracking=False)
             labels_fc, num_clusters, converged, _state, _records, stats = \
                 step(xyi, count, positions)
             max_cand = int(stats["max_cand"])

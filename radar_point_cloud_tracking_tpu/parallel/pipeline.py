@@ -81,6 +81,7 @@ def sharded_tracking_step(
     max_dist: float = 50.0,
     stationary: float = 1.0,
     k_pad: int = 128,
+    with_tracking: bool = True,
 ):
     """Build the jitted sharded step.
 
@@ -307,6 +308,21 @@ def sharded_tracking_step(
                       rank[jnp.clip(border_key, 0, size - 1)], -1))
         labels_local = final_flat.reshape(ft, c)[halo_k:halo_k + f_l]
 
+        stats = {
+            "keep": valid,  # post-land per-slot validity
+            "kept_count": jnp.sum(valid, axis=1).astype(jnp.int32),
+            "land_cells": (jnp.sum(land).astype(jnp.int32) if use_land
+                           else jnp.int32(0)),
+            # true candidate-width maximum across shards: > k_pad means the
+            # bounded candidate table overflowed and the labels are invalid
+            "max_cand": jax.lax.pmax(
+                jnp.max(index.cand_count).astype(jnp.int32), ax),
+        }
+        if not with_tracking:
+            # clustering-only consumers (the sharded denoiser) skip the
+            # per-frame stats tables and the replicated tracker scan
+            return labels_local, num_clusters, converged, None, None, stats
+
         # ---- per-frame cluster stats + gather ---------------------------
         lxy = xyi[..., :2].reshape(f_l * c, 2)
         lint = xyi[..., 2].reshape(-1)
@@ -325,23 +341,15 @@ def sharded_tracking_step(
             cents_g, cvalid_g, fids_g, max_objects=max_objects,
             history=history, max_missed=max_missed, max_dist=max_dist,
             stationary=stationary)
-        stats = {
+        stats.update({
             "centroids": cs.centroids,
             "valid": cs.valid,
             "label": cs.label,
             "num_points": cs.num_points,
             "mean_intensity": cs.mean_intensity,
             "present_count": cs.present_count,
-            "keep": valid,  # post-land per-slot validity
-            "kept_count": jnp.sum(valid, axis=1).astype(jnp.int32),
             "label_overflow": jax.lax.psum(cs.label_overflow, ax),
-            "land_cells": (jnp.sum(land).astype(jnp.int32) if use_land
-                           else jnp.int32(0)),
-            # true candidate-width maximum across shards: > k_pad means the
-            # bounded candidate table overflowed and the labels are invalid
-            "max_cand": jax.lax.pmax(
-                jnp.max(index.cand_count).astype(jnp.int32), ax),
-        }
+        })
         return labels_local, num_clusters, converged, state, records, stats
 
     shard_spec = P(FRAMES_AXIS)
@@ -349,16 +357,22 @@ def sharded_tracking_step(
     if use_land:
         in_specs += [P(), P()]  # bin edges replicated
     stats_specs = {
-        "centroids": shard_spec, "valid": shard_spec, "label": shard_spec,
-        "num_points": shard_spec, "mean_intensity": shard_spec,
-        "present_count": shard_spec, "keep": shard_spec,
-        "kept_count": shard_spec,
-        "label_overflow": P(), "land_cells": P(), "max_cand": P(),
+        "keep": shard_spec, "kept_count": shard_spec,
+        "land_cells": P(), "max_cand": P(),
     }
+    if with_tracking:
+        stats_specs.update({
+            "centroids": shard_spec, "valid": shard_spec,
+            "label": shard_spec, "num_points": shard_spec,
+            "mean_intensity": shard_spec, "present_count": shard_spec,
+            "label_overflow": P(),
+        })
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(shard_spec, P(), P(), P(), P(), stats_specs),
+        out_specs=(shard_spec, P(), P(),
+                   P() if with_tracking else None,
+                   P() if with_tracking else None, stats_specs),
         check_vma=False,
     )
     return jax.jit(sharded)
