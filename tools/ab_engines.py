@@ -129,5 +129,60 @@ def main():
         print(f"{name:12s} {m:7.0f} ms   reps {[f'{t*1e3:.0f}' for t in ts]}")
 
 
+def denoise_section(reps=3):
+    """AB_DENOISE=1: the min_frames denoise-scale cluster program — the
+    symmetric engine's biggest projected win (full sweeps at ~9.5M pts)."""
+    from tools._scene import load_bench_scene_denoise
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        core_stats_pallas_sym_mf)
+
+    points, n, cap, cfg = load_bench_scene_denoise(100)
+    print(f"denoise scene: {n:,} points, capacity {cap:,}")
+    es, et = jnp.float32(8.0), jnp.float32(2.0)
+    valid = jnp.arange(cap) < jnp.int32(n)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def build(pairs):
+        idx = build_spatial_index(points[:, :2], points[:, 3], valid,
+                                  8.0, 2.0, tile=512, pairs=pairs)
+        jax.block_until_ready(idx.cand_idx)
+        return idx
+
+    idx = build(False)
+    idx_p = build(True)
+    print(f"pairs: {int(idx_p.pair_count):,} "
+          f"(P_pad={idx_p.pair_a.shape[0]})")
+    dmf_s = core_stats_pallas_sym_mf(idx_p, es, et, 2)
+    dmf_x = neighbor_core_stats(idx_p, es, et, n_offsets=2)
+    v = np.asarray(idx_p.valid)
+    ok = (np.array_equal(np.asarray(dmf_s[0])[v], np.asarray(dmf_x[0])[v])
+          and np.array_equal(np.asarray(dmf_s[1])[v],
+                             np.asarray(dmf_x[1])[v]))
+    print(f"denoise-scene SYM_MF stats match XLA: {ok}")
+    assert ok
+
+    def prog(ix):
+        lbl, k = cluster_index(ix, es, et, 15, 2, 2, "if_earlier", 256,
+                               use_pallas=on_tpu)
+        jax.block_until_ready(lbl)
+        return lbl, k
+
+    l_plain, k_plain = prog(idx)
+    l_sym, k_sym = prog(idx_p)
+    same = bool(jnp.array_equal(l_plain, l_sym))
+    print(f"denoise cluster labels equal: {same} "
+          f"({int(k_plain)}/{int(k_sym)} clusters)")
+    assert same
+    for name, ix in (("den_plain", idx), ("den_sym", idx_p)):
+        m, ts = med(lambda: prog(ix)[0], reps)
+        print(f"{name:12s} {m:7.0f} ms   reps "
+              f"{[f'{t*1e3:.0f}' for t in ts]}")
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("AB_DENOISE"):
+        denoise_section()
+    else:
+        main()

@@ -18,6 +18,9 @@ run() {
 #    index build cost with/without pairs (asserts label equality on chip)
 run ab_engines python tools/ab_engines.py 4
 
+# 1b. denoise-scale engine A/B (min_frames sym stats + sym sweeps)
+run ab_denoise env AB_DENOISE=1 python tools/ab_engines.py
+
 # 2. scatter/segment primitive costs (gates the min_frames symmetric stats)
 run microbench_scatter python tools/microbench_scatter.py
 
