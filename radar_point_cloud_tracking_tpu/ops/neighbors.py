@@ -43,6 +43,11 @@ INT_MAX = np.int32(2**31 - 1)
 _PAD_SENTINEL = np.float32(1.0e9)
 # dead candidate slots' time: |dt| is huge, so they fail the temporal test
 _DEAD_TIME = np.float32(4.0e9)
+# combined SMEM budget for the symmetric kernels' prefetched pair lists
+# (pair_a + pair_b, int32 each -> 8 bytes/pair); v5e SMEM is 1 MiB and a
+# request past it fails Mosaic allocation, so build_spatial_index drops the
+# pair list above this and sweeps fall back to the directed hybrid engine
+SYM_PAIR_SMEM_BUDGET = 512 * 1024
 _QUERY_CHUNK = 16  # query tiles per sweep step (lax.map runs chunks
 # sequentially; measured optimum at bench scale — smaller chunks tighten
 # the per-chunk dynamic loop bound, larger ones amortize per-step
@@ -320,8 +325,18 @@ def build_spatial_index(
     qorder = jnp.argsort(cand_count, stable=True).astype(jnp.int32)
     pair_a = pair_b = pair_count = None
     if pairs:
-        pair_a, pair_b, pair_count = _pairs_from_candidates(
-            cand_idx, cand_count, min(p_pad, num_tiles * k_pad))
+        width = min(p_pad, num_tiles * k_pad)
+        # the symmetric kernels prefetch BOTH pair lists (int32 each) into
+        # SMEM (1 MiB on v5e); past half of it the compile fails with a
+        # Mosaic allocation error (measured: the 9.5M-point denoise scene's
+        # 524288-wide list asks for 2 MiB), so big scenes drop the pair
+        # list here and every sweep dispatch falls back to the directed
+        # manual-DMA/XLA hybrid
+        if 8 * width > SYM_PAIR_SMEM_BUDGET:
+            pairs = False
+        else:
+            pair_a, pair_b, pair_count = _pairs_from_candidates(
+                cand_idx, cand_count, width)
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
                         perm=perm, cand_idx=cand_idx, cand_count=cand_count,
                         qorder=qorder, group_id=group_id,

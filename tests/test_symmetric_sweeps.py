@@ -234,3 +234,29 @@ def test_sym_stats_min_frames_matches_directed(seed):
     v = np.asarray(idx.valid)
     assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
     assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
+
+
+def test_smem_budget_gate_drops_pair_list(monkeypatch):
+    """Past SYM_PAIR_SMEM_BUDGET the build must drop the pair list (the
+    symmetric kernels prefetch both lists into 1 MiB SMEM; measured on
+    chip: the 9.5M-point denoise scene's 524288-wide list fails Mosaic
+    allocation) and clustering must still run — on the directed hybrid —
+    with identical labels."""
+    from radar_point_cloud_tracking_tpu.ops import neighbors
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import cluster_index
+
+    coords, times, valid = _scene(11)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0)
+    idx_ref = build_spatial_index(*args, tile=64, pairs=True)
+    assert idx_ref.pair_a is not None  # under budget: pairs built
+    monkeypatch.setattr(neighbors, "SYM_PAIR_SMEM_BUDGET", 64)
+    idx_gated = build_spatial_index(*args, tile=64, pairs=True)
+    assert idx_gated.pair_a is None
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    want = cluster_index(idx_ref, es, et, 5, 1, 0, "always", 256,
+                         use_pallas=True)
+    got = cluster_index(idx_gated, es, et, 5, 1, 0, "always", 256,
+                        use_pallas=True)
+    assert int(want[1]) == int(got[1])
+    assert np.array_equal(np.asarray(want[0]), np.asarray(got[0]))

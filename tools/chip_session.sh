@@ -8,7 +8,7 @@ mkdir -p .chip_logs
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  /usr/bin/time -v timeout 3600 "$@" > ".chip_logs/$name.log" 2>&1
+  timeout 3600 "$@" > ".chip_logs/$name.log" 2>&1
   rc=$?
   echo "--- $name rc=$rc; tail:"
   tail -25 ".chip_logs/$name.log"
