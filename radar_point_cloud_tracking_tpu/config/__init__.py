@@ -82,10 +82,6 @@ class ClusteringConfig(BaseModel):
     tile_size: int = 512  # points per tile in the neighbor engine
     cell_size: Optional[float] = None  # spatial hash cell; default = eps_space
     max_label_sweeps: int = 64  # safety bound on label-propagation rounds
-    # seed core labels with (eps/2 subcell x eps_time/2 bucket) group minima
-    # before propagation round 1 — exact (group members are proven mutual
-    # ST-neighbors); costs one lexsort sub-key in the index build
-    premerge: bool = False
 
 
 class LandFilterConfig(BaseModel):

@@ -143,8 +143,7 @@ def denoise_frames(
             tile=cfg.clustering.tile_size,
             max_sweeps=cfg.clustering.max_label_sweeps,
             use_pallas=(cfg.device.use_pallas
-                        and jax.default_backend() == "tpu"),
-            premerge=cfg.clustering.premerge)
+                        and jax.default_backend() == "tpu"))
         num_clusters = int(num_clusters)
 
     with timer.stage("stats"):

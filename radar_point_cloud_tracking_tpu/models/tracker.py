@@ -612,7 +612,7 @@ class TrackingPipeline:
                           and jax.default_backend() == "tpu")
             tile_sz = cfg.clustering.tile_size
             ck = (int(capacity), tile_sz, float(eps_space), float(eps_time),
-                  cfg.clustering.cell_size, bool(cfg.clustering.premerge))
+                  cfg.clustering.cell_size)
             hints = _KPAD_CACHE.get(ck)
             k_hint, p_hint = hints if hints else (None, None)
             if not p_hint:
@@ -620,7 +620,7 @@ class TrackingPipeline:
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
-                k_pad=k_hint, premerge=cfg.clustering.premerge,
+                k_pad=k_hint,
                 pairs=use_pallas and sym_engine_ok(tile=tile_sz),
                 p_pad=p_hint)
             while True:
@@ -654,7 +654,6 @@ class TrackingPipeline:
                         points[:, :2], points[:, 4], pvalid, eps_space,
                         eps_time, tile=tile_sz,
                         cell_size=cfg.clustering.cell_size,
-                        premerge=cfg.clustering.premerge,
                         pairs=use_pallas and sym_engine_ok(tile=tile_sz))
                     continue
                 break

@@ -73,11 +73,6 @@ class SpatialIndex:
     cand_idx: jnp.ndarray  # (Ntiles, K) candidate tile ids (self included)
     cand_count: jnp.ndarray  # (Ntiles,) number of valid candidates
     qorder: jnp.ndarray  # (Ntiles,) tile ids sorted by ascending cand_count
-    # optional (Ntiles, T) int32 pre-merge group id: points sharing a group
-    # are PROVEN mutual ST-neighbors (subcell diagonal = eps/sqrt(2),
-    # time-bucket width = eps_time/2), so core points in a group may share
-    # one initial label before propagation round 1
-    group_id: Optional[jnp.ndarray] = None
     # optional unordered tile-pair list (a-major sorted, a <= b, self pairs
     # included once): the symmetric Pallas sweeps evaluate each pair block
     # ONCE and fold it into both tiles' outputs, halving predicate work on
@@ -90,8 +85,7 @@ class SpatialIndex:
     def tree_flatten(self):
         return ((self.coords, self.times, self.valid, self.perm,
                  self.cand_idx, self.cand_count, self.qorder,
-                 self.group_id, self.pair_a, self.pair_b,
-                 self.pair_count), None)
+                 self.pair_a, self.pair_b, self.pair_count), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -116,9 +110,8 @@ def _morton_interleave(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "tile", "premerge"))
-def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile,
-                   eps_space=None, eps_time=None, premerge=False):
+@functools.partial(jax.jit, static_argnames=("num_tiles", "tile"))
+def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile):
     n = coords.shape[0]
     d = coords.shape[1]
     x = coords[:, 0]
@@ -130,38 +123,7 @@ def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile,
     cy = jnp.clip(((y - ymin) / cell_size).astype(jnp.int32), 0, 0x7FFF)
     morton = _morton_interleave(cx) | (_morton_interleave(cy) << 1)
     key = jnp.where(valid, morton, INT_MAX)
-
-    group_id = None
-    if premerge:
-        # Pre-merge groups: subcells of side eps/2 (diagonal eps/sqrt(2),
-        # so any two members are within eps_space even after f32 bucket
-        # rounding) crossed with time buckets of width eps_time/2 (pairwise
-        # |dt| < eps_time with the same margin).  Groups only need to be
-        # CONTIGUOUS in the sort; the secondary sub-key below may alias
-        # distinct groups (masked bits), which at worst fragments a group —
-        # boundaries are decided by the TRUE (morton, scx, scy, tb) values,
-        # so aliasing can never wrongly merge.
-        s = eps_space * jnp.float32(0.5)
-        scx = jnp.clip(((x - xmin) / s), 0, jnp.float32(1 << 23)).astype(
-            jnp.int32)
-        scy = jnp.clip(((y - ymin) / s), 0, jnp.float32(1 << 23)).astype(
-            jnp.int32)
-        q = times * (jnp.float32(2.0) / eps_time)
-        ok = (eps_time > 0) & (jnp.abs(q) < jnp.float32(1 << 30))
-        tb = jnp.where(ok, jnp.floor(jnp.where(ok, q, 0.0)).astype(jnp.int32),
-                       jnp.arange(n, dtype=jnp.int32) + jnp.int32(1 << 30))
-        sub = (((scx & 7) << 28) | ((scy & 7) << 25)
-               | (tb & ((1 << 25) - 1)))
-        perm = jnp.lexsort((sub, key)).astype(jnp.int32)
-        mo_s, sx_s, sy_s, tb_s = (a[perm] for a in (morton, scx, scy, tb))
-        valid_sorted = valid[perm]
-        diff = ((mo_s[1:] != mo_s[:-1]) | (sx_s[1:] != sx_s[:-1])
-                | (sy_s[1:] != sy_s[:-1]) | (tb_s[1:] != tb_s[:-1])
-                | ~valid_sorted[1:] | ~valid_sorted[:-1])
-        bound = jnp.concatenate([jnp.ones((1,), bool), diff])
-        group_id = (jnp.cumsum(bound.astype(jnp.int32)) - 1)
-    else:
-        perm = jnp.argsort(key, stable=True)
+    perm = jnp.argsort(key, stable=True)
 
     pad = num_tiles * tile - n
     # invalid points take a far-away sentinel coordinate so the distance
@@ -180,13 +142,6 @@ def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile,
     coords_t = coords_s.reshape(num_tiles, tile, d)
     times_t = times_s.reshape(num_tiles, tile)
     valid_t = valid_s.reshape(num_tiles, tile)
-    if group_id is not None:
-        if pad:
-            # padded tail slots take unique ids beyond any real group id
-            # (< n), so they can never share a group with real points
-            group_id = jnp.concatenate([
-                group_id, jnp.arange(pad, dtype=jnp.int32) + jnp.int32(n)])
-        group_id = group_id.reshape(num_tiles, tile)
 
     # per-tile bounding boxes over valid points only
     big = jnp.float32(np.inf)
@@ -194,7 +149,7 @@ def _sort_and_tile(coords, times, valid, cell_size, num_tiles, tile,
     hi = jnp.max(jnp.where(valid_t[..., None], coords_t, -big), axis=1)
     tlo = jnp.min(jnp.where(valid_t, times_t, big), axis=1)
     thi = jnp.max(jnp.where(valid_t, times_t, -big), axis=1)
-    return coords_t, times_t, valid_t, perm, lo, hi, tlo, thi, group_id
+    return coords_t, times_t, valid_t, perm, lo, hi, tlo, thi
 
 
 @jax.jit
@@ -271,7 +226,6 @@ def build_spatial_index(
     tile: int = 512,
     cell_size: Optional[float] = None,
     k_pad: Optional[int] = None,
-    premerge: bool = False,
     pairs: bool = False,
     p_pad: Optional[int] = None,
 ) -> SpatialIndex:
@@ -284,11 +238,6 @@ def build_spatial_index(
     k_pad would be silently dropped, so callers pass k_pad >= worst case
     (num_tiles is always safe).
 
-    ``premerge`` adds a secondary sub-key to the sort (eps/2 subcell,
-    eps_time/2 time bucket) and attaches ``group_id``: points in one group
-    are proven mutual ST-neighbors, letting the clustering seed core labels
-    with group minima (one free contraction level before round 1).
-
     ``pairs`` additionally compacts the UNORDERED tile-pair list (a <= b)
     for the symmetric Pallas sweeps; its static width comes from ``p_pad``
     (hint; true count returns on the index for overflow detection) or the
@@ -298,12 +247,9 @@ def build_spatial_index(
         cell_size = eps_space
     n = coords.shape[0]
     num_tiles = max(1, -(-n // tile))
-    coords_t, times_t, valid_t, perm, lo, hi, tlo, thi, group_id = (
-        _sort_and_tile(
-            jnp.asarray(coords, jnp.float32), jnp.asarray(times, jnp.float32),
-            jnp.asarray(valid), jnp.float32(cell_size), num_tiles, tile,
-            eps_space=jnp.float32(eps_space), eps_time=jnp.float32(eps_time),
-            premerge=premerge))
+    coords_t, times_t, valid_t, perm, lo, hi, tlo, thi = _sort_and_tile(
+        jnp.asarray(coords, jnp.float32), jnp.asarray(times, jnp.float32),
+        jnp.asarray(valid), jnp.float32(cell_size), num_tiles, tile)
     mask = _tile_pair_mask(lo, hi, tlo, thi, jnp.float32(eps_space),
                            jnp.float32(eps_time))
     if k_pad is None or (pairs and p_pad is None):
@@ -339,8 +285,8 @@ def build_spatial_index(
                 cand_idx, cand_count, width)
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
                         perm=perm, cand_idx=cand_idx, cand_count=cand_count,
-                        qorder=qorder, group_id=group_id,
-                        pair_a=pair_a, pair_b=pair_b, pair_count=pair_count)
+                        qorder=qorder, pair_a=pair_a, pair_b=pair_b,
+                        pair_count=pair_count)
 
 
 # ---------------------------------------------------------------------------

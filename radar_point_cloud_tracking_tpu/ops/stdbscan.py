@@ -447,7 +447,6 @@ def st_dbscan_device(
     cell_size: Optional[float] = None,
     max_sweeps: int = 256,
     use_pallas: bool = False,
-    premerge: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full device ST-DBSCAN over a padded point buffer.
 
@@ -459,8 +458,7 @@ def st_dbscan_device(
     pairs = bool(use_pallas) and sym_engine_ok(
         tile=tile, has_z=coords.shape[1] >= 3, n_offsets=n_offsets)
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
-                                tile=tile, cell_size=cell_size,
-                                premerge=premerge, pairs=pairs)
+                                tile=tile, cell_size=cell_size, pairs=pairs)
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
         int(min_samples), int(min_frames), n_offsets, border_mode,
@@ -504,33 +502,10 @@ def cluster_index(
 
     perm2d, inv = _perm2d_and_inv(index, core)
     label0 = jnp.where(core, perm2d, INT_MAX)
-    if index.group_id is not None:
-        # Pre-merge seeding: all core points in one group (eps/2 subcell x
-        # eps_time/2 bucket, see build_spatial_index) are mutual
-        # ST-neighbors, hence in one component — they may start from the
-        # group's minimum core index instead of their own.  The fixpoint is
-        # unchanged (labels stay indices of cores in the same component,
-        # >= the component key), but dense blobs begin with ~1 label per
-        # subcell-bucket instead of 1 per point, buying a free contraction
-        # level before round 1's sweep.
-        n_sorted = label0.size
-        gid = index.group_id.reshape(-1)
-        gmin = jnp.full((n_sorted,), INT_MAX, jnp.int32).at[gid].min(
-            label0.reshape(-1), mode="drop")
-        label0 = jnp.where(core, gmin[gid].reshape(label0.shape), INT_MAX)
-
     n_sorted = label0.size
     own_slot = jnp.arange(n_sorted, dtype=jnp.int32).reshape(label0.shape)
-    if index.group_id is not None:
-        # seeded labels may name another point; derive their slots once
-        flat0 = label0.reshape(-1)
-        lslot0 = jnp.where(
-            flat0 < INT_MAX,
-            inv[jnp.clip(flat0, 0, inv.shape[0] - 1)],
-            n_sorted).reshape(label0.shape)
-    else:
-        # initial labels are each core's own original index -> own slot
-        lslot0 = jnp.where(core, own_slot, n_sorted)
+    # initial labels are each core's own original index -> own slot
+    lslot0 = jnp.where(core, own_slot, n_sorted)
 
     # Incremental frontier loop: propagation is monotone, so each round
     # rescans only candidates in tiles whose labels changed last round,
@@ -654,6 +629,5 @@ def st_dbscan(
         min_frames=min_frames, border_mode=border_mode, tile=tile,
         cell_size=config.cell_size if config else None,
         max_sweeps=config.max_label_sweeps if config else 256,
-        premerge=config.premerge if config else False,
         use_pallas=bool(use_pallas))
     return np.asarray(labels)

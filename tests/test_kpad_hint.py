@@ -78,7 +78,7 @@ def test_undersized_kpad_hint_is_detected_and_exact(_clean_cache):
     # poison the cache key with uselessly small hints; the in-program
     # overflow check must force an exact rebuild
     tracker_mod._KPAD_CACHE.clear()
-    key = (int(cap), tile_sz, 8.0, 2.0, cell, False)
+    key = (int(cap), tile_sz, 8.0, 2.0, cell)
     tracker_mod._KPAD_CACHE[key] = (1, 1)
 
     out = _run(ingested, cfg)

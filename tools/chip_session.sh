@@ -24,9 +24,6 @@ run ab_denoise env AB_DENOISE=1 python tools/ab_engines.py
 # 2. scatter/segment primitive costs (gates the min_frames symmetric stats)
 run microbench_scatter python tools/microbench_scatter.py
 
-# 3. premerge decision data
-run ab_premerge python tools/ab_premerge.py 4
-
 # 4. records: tracker flagship, denoising flagship, 10M envelope
 run bench python bench.py
 run bench_denoise env BENCH_DENOISE=1 python bench.py
