@@ -684,8 +684,11 @@ def main():
 
     # steady-state timing on the full sequence: warm once, then measure
     # BENCH_TPU_REPEATS reps and take the median (same protocol as the CPU
-    # denominator — a single rep is hostage to host/tunnel noise)
-    tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "3")))
+    # denominator — a single rep is hostage to host/tunnel noise).  Reps
+    # here cost ~3s each, so the default is 5: a median of 5 absorbs two
+    # noisy reps where a median of 3 records one (observed: reps
+    # 2.88/4.31/4.0 — one clean rep, two tunnel-stalled, median 4.0)
+    tpu_repeats = max(1, int(os.environ.get("BENCH_TPU_REPEATS", "5")))
     run_tpu(data_dir, num_frames, "warmup")
     tpu_time, tpu_times, full_result = _measure_tpu_median(
         lambda lbl: run_tpu(data_dir, num_frames, lbl), tpu_repeats)
