@@ -45,9 +45,18 @@ _PAD_SENTINEL = np.float32(1.0e9)
 _DEAD_TIME = np.float32(4.0e9)
 # combined SMEM budget for the symmetric kernels' prefetched pair lists
 # (pair_a + pair_b, int32 each -> 8 bytes/pair); v5e SMEM is 1 MiB and a
-# request past it fails Mosaic allocation, so build_spatial_index drops the
-# pair list above this and sweeps fall back to the directed hybrid engine
+# request past it fails Mosaic allocation (measured: the 9.5M-point denoise
+# scene's 524288-wide list asks 2 MiB), so lists wider than the budget are
+# dispatched in SMEM-sized CHUNKS by the symmetric wrappers
+# (ops/pallas_neighbors.py) — build_spatial_index rounds the list width up
+# to a whole number of chunks so every chunk compiles to the same shape
 SYM_PAIR_SMEM_BUDGET = 512 * 1024
+
+
+def sym_pair_chunk_cap() -> int:
+    """Pairs per symmetric-kernel dispatch: both int32 lists of one chunk
+    must fit the SMEM prefetch budget (8 bytes per pair)."""
+    return max(8, SYM_PAIR_SMEM_BUDGET // 8)
 _QUERY_CHUNK = 16  # query tiles per sweep step (lax.map runs chunks
 # sequentially; measured optimum at bench scale — smaller chunks tighten
 # the per-chunk dynamic loop bound, larger ones amortize per-step
@@ -272,17 +281,16 @@ def build_spatial_index(
     pair_a = pair_b = pair_count = None
     if pairs:
         width = min(p_pad, num_tiles * k_pad)
-        # the symmetric kernels prefetch BOTH pair lists (int32 each) into
-        # SMEM (1 MiB on v5e); past half of it the compile fails with a
-        # Mosaic allocation error (measured: the 9.5M-point denoise scene's
-        # 524288-wide list asks for 2 MiB), so big scenes drop the pair
-        # list here and every sweep dispatch falls back to the directed
-        # manual-DMA/XLA hybrid
-        if 8 * width > SYM_PAIR_SMEM_BUDGET:
-            pairs = False
-        else:
-            pair_a, pair_b, pair_count = _pairs_from_candidates(
-                cand_idx, cand_count, width)
+        cap = sym_pair_chunk_cap()
+        if width > cap:
+            # past the SMEM prefetch budget the symmetric wrappers dispatch
+            # the list in chunks; rounding the width up to a whole number
+            # of chunks keeps every chunk the same compiled shape (clamped
+            # to the flat candidate-table length — a short final chunk is
+            # still correct, it just compiles one extra kernel shape)
+            width = min(cap * -(-width // cap), num_tiles * k_pad)
+        pair_a, pair_b, pair_count = _pairs_from_candidates(
+            cand_idx, cand_count, width)
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
                         perm=perm, cand_idx=cand_idx, cand_count=cand_count,
                         qorder=qorder, pair_a=pair_a, pair_b=pair_b,

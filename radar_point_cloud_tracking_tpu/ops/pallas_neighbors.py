@@ -723,7 +723,50 @@ def _sym_fplanes(index: SpatialIndex,
                       bits(bypass_limit), z, zf], axis=1)
 
 
-@jax.jit
+def _pair_chunks(p_pad: int, cap: int):
+    """Static (start, length) slices of the pair list, each fitting the
+    SMEM prefetch budget (see neighbors.sym_pair_chunk_cap)."""
+    out = []
+    s = 0
+    while s < p_pad:
+        out.append((s, min(cap, p_pad - s)))
+        s += cap
+    return out or [(0, p_pad)]
+
+
+def _sym_grid_spec(t: int, ln: int, n_a_outs: int):
+    """Grid spec shared by the symmetric kernels: one grid step per pair,
+    ``n_a_outs`` revisited a-side output blocks followed by the same number
+    of per-pair partial (b-side) blocks."""
+    a = [pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0))
+         for _ in range(n_a_outs)]
+    b = [pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0))
+         for _ in range(n_a_outs)]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # pair_a, pair_b, pair_count
+        grid=(ln,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=tuple(a + b),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 8, t), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+
+def _chunk_args(index: SpatialIndex, base: int, ln: int):
+    """Slice the pair list for one chunk; the live count clamps to the
+    chunk (dead-tail entries repeat the last live ``a`` with ``b = 0`` and
+    identity partial rows, so they contribute nothing downstream)."""
+    pa = jax.lax.slice_in_dim(index.pair_a, base, base + ln)
+    pb = jax.lax.slice_in_dim(index.pair_b, base, base + ln)
+    cnt = jnp.clip(index.pair_count - base, 0, ln).astype(jnp.int32)
+    return pa, pb, cnt
+
+
 def core_stats_pallas_sym(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
@@ -731,48 +774,57 @@ def core_stats_pallas_sym(
 ) -> jnp.ndarray:
     """Symmetric-pair degree sweep (2D coords, no min_frames): each
     unordered tile pair's predicate evaluated once.  Requires an index
-    built with ``pairs=True``."""
+    built with ``pairs=True``; lists wider than the SMEM prefetch budget
+    dispatch in chunks."""
+    from .neighbors import sym_pair_chunk_cap
+
+    return _core_stats_sym(index, eps_space, eps_time,
+                           cap=sym_pair_chunk_cap())
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _core_stats_sym(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    cap: int,
+) -> jnp.ndarray:
     nt, t = index.num_tiles, index.tile
     p_pad = index.pair_a.shape[0]
     fplanes = _sym_fplanes(index, None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+    chunks = _pair_chunks(p_pad, cap)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # pair_a, pair_b, pair_count
-        grid=(p_pad,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 8, t), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-
-    deg_a, partial_b = pl.pallas_call(
-        _make_sym_stats_kernel(p_pad,
-                               has_z=index.coords.shape[-1] >= 3),
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
-                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
-        interpret=_interpret(),
-    )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
-      fplanes, eps)
-    deg_b = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].add(
-        partial_b.reshape(p_pad, t), mode="drop")
+    deg_a_tot = jnp.zeros((nt, t), jnp.int32)
+    deg_b = jnp.zeros((nt, t), jnp.int32)
+    for base, ln in chunks:
+        pa, pb, cnt = _chunk_args(index, base, ln)
+        deg_a, partial_b = pl.pallas_call(
+            _make_sym_stats_kernel(ln,
+                                   has_z=index.coords.shape[-1] >= 3),
+            grid_spec=_sym_grid_spec(t, ln, 1),
+            out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
+            interpret=_interpret(),
+        )(pa, pb, cnt.reshape(1), fplanes, eps)
+        da = deg_a.reshape(nt, t)
+        if len(chunks) == 1:
+            # single chunk: every tile with pairs is visited as ``a`` (the
+            # self pair), so only all-invalid tiles hold garbage — masked
+            # by index.valid below
+            deg_a_tot = da
+        else:
+            # a tile's pairs may span chunks; unvisited-in-this-chunk
+            # blocks hold garbage, so mask by this chunk's visited set
+            visited = jnp.zeros((nt,), bool).at[pa].set(True)
+            deg_a_tot = deg_a_tot + jnp.where(visited[:, None], da, 0)
+        deg_b = deg_b.at[pb].add(partial_b.reshape(ln, t), mode="drop")
     # blocks of all-invalid tiles are never visited (no pairs) and hold
     # whatever was in the output buffer; their degrees are unused (core
     # requires index.valid) but zero them for deterministic output
-    deg = jnp.where(index.valid, deg_a.reshape(nt, t) + deg_b, 0)
-    return deg
+    return jnp.where(index.valid, deg_a_tot + deg_b, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("use_limit",))
 def min_sweep_pallas_sym(
     index: SpatialIndex,
     payload: jnp.ndarray,  # (Ntiles, T) int32
@@ -785,7 +837,27 @@ def min_sweep_pallas_sym(
     """Symmetric-pair min sweep (2D coords): the Pallas twin of
     neighbors.neighbor_min_sweep over the unordered pair list, including
     the thresholded (``use_limit``) border-attachment variant — the limit
-    test is evaluated in both directions from each pair block."""
+    test is evaluated in both directions from each pair block.  Lists
+    wider than the SMEM prefetch budget dispatch in chunks."""
+    from .neighbors import sym_pair_chunk_cap
+
+    return _min_sweep_sym(index, payload, eps_space, eps_time,
+                          query_limit=query_limit,
+                          bypass_limit=bypass_limit, use_limit=use_limit,
+                          cap=sym_pair_chunk_cap())
+
+
+@functools.partial(jax.jit, static_argnames=("use_limit", "cap"))
+def _min_sweep_sym(
+    index: SpatialIndex,
+    payload: jnp.ndarray,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    query_limit: Optional[jnp.ndarray] = None,
+    bypass_limit: Optional[jnp.ndarray] = None,
+    use_limit: bool = False,
+    cap: int = 1 << 30,
+) -> jnp.ndarray:
     nt, t = index.num_tiles, index.tile
     p_pad = index.pair_a.shape[0]
     if use_limit and bypass_limit is None:
@@ -794,36 +866,29 @@ def min_sweep_pallas_sym(
                            query_limit if use_limit else None,
                            bypass_limit if use_limit else None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+    chunks = _pair_chunks(p_pad, cap)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(p_pad,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 8, t), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-
-    acc_a, partial_b = pl.pallas_call(
-        _make_sym_min_kernel(p_pad, use_limit=use_limit,
-                             has_z=index.coords.shape[-1] >= 3),
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
-                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
-        interpret=_interpret(),
-    )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
-      fplanes, eps)
-    min_b = jnp.full((nt, t), INT_MAX, jnp.int32).at[index.pair_b].min(
-        partial_b.reshape(p_pad, t), mode="drop")
-    out = jnp.minimum(acc_a.reshape(nt, t), min_b)
+    acc_tot = jnp.full((nt, t), INT_MAX, jnp.int32)
+    min_b = jnp.full((nt, t), INT_MAX, jnp.int32)
+    for base, ln in chunks:
+        pa, pb, cnt = _chunk_args(index, base, ln)
+        acc_a, partial_b = pl.pallas_call(
+            _make_sym_min_kernel(ln, use_limit=use_limit,
+                                 has_z=index.coords.shape[-1] >= 3),
+            grid_spec=_sym_grid_spec(t, ln, 1),
+            out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
+            interpret=_interpret(),
+        )(pa, pb, cnt.reshape(1), fplanes, eps)
+        aa = acc_a.reshape(nt, t)
+        if len(chunks) == 1:
+            acc_tot = aa
+        else:
+            visited = jnp.zeros((nt,), bool).at[pa].set(True)
+            acc_tot = jnp.minimum(acc_tot,
+                                  jnp.where(visited[:, None], aa, INT_MAX))
+        min_b = min_b.at[pb].min(partial_b.reshape(ln, t), mode="drop")
+    out = jnp.minimum(acc_tot, min_b)
     # unvisited blocks (all-invalid tiles) hold garbage; mask to INT_MAX
     return jnp.where(index.valid, out, INT_MAX)
 
@@ -914,7 +979,6 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_offsets",))
 def core_stats_pallas_sym_mf(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
@@ -922,7 +986,22 @@ def core_stats_pallas_sym_mf(
     n_offsets: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric-pair degree + frame-count sweep (min_frames variant).
-    Returns (degree, frame_count) like neighbors.neighbor_core_stats."""
+    Returns (degree, frame_count) like neighbors.neighbor_core_stats.
+    Lists wider than the SMEM prefetch budget dispatch in chunks."""
+    from .neighbors import sym_pair_chunk_cap
+
+    return _core_stats_sym_mf(index, eps_space, eps_time, n_offsets,
+                              cap=sym_pair_chunk_cap())
+
+
+@functools.partial(jax.jit, static_argnames=("n_offsets", "cap"))
+def _core_stats_sym_mf(
+    index: SpatialIndex,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    n_offsets: int,
+    cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from .neighbors import _popcount
 
     nt, t = index.num_tiles, index.tile
@@ -930,47 +1009,42 @@ def core_stats_pallas_sym_mf(
     ki = n_offsets
     fplanes = _sym_fplanes(index, None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
+    chunks = _pair_chunks(p_pad, cap)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(p_pad,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (pa[p], 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda p, pa, pb, cnt: (p, 0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 8, t), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-
-    deg_a, bits_a, pdeg, pbits = pl.pallas_call(
-        _make_sym_stats_mf_kernel(p_pad, ki,
-                                  has_z=index.coords.shape[-1] >= 3),
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
-                   jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
-                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32),
-                   jax.ShapeDtypeStruct((p_pad, 1, t), jnp.int32)),
-        interpret=_interpret(),
-    )(index.pair_a, index.pair_b, index.pair_count.reshape(1),
-      fplanes, eps)
-    deg_b = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].add(
-        pdeg.reshape(p_pad, t), mode="drop")
-    deg = jnp.where(index.valid, deg_a.reshape(nt, t) + deg_b, 0)
-    # extracted bits are 0/1, so scatter-max is the or-reduction; fold
-    # them back into a bitmask and popcount alongside the a-side bits
-    bits = bits_a.reshape(nt, t)
-    pb2 = pbits.reshape(p_pad, t)
+    deg_a_tot = jnp.zeros((nt, t), jnp.int32)
+    bits_a_tot = jnp.zeros((nt, t), jnp.int32)
+    deg_b = jnp.zeros((nt, t), jnp.int32)
+    # per-offset b-side presence accumulators: extracted bits are 0/1, so
+    # scatter-max is the or-reduction (an int32 scatter-max of the whole
+    # bitmask would NOT be an or)
+    pk_acc = [jnp.zeros((nt, t), jnp.int32) for _ in range(2 * ki + 1)]
+    for base, ln in chunks:
+        pa, pb, cnt = _chunk_args(index, base, ln)
+        deg_a, bits_a, pdeg, pbits = pl.pallas_call(
+            _make_sym_stats_mf_kernel(ln, ki,
+                                      has_z=index.coords.shape[-1] >= 3),
+            grid_spec=_sym_grid_spec(t, ln, 2),
+            out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
+            interpret=_interpret(),
+        )(pa, pb, cnt.reshape(1), fplanes, eps)
+        da = deg_a.reshape(nt, t)
+        ba = bits_a.reshape(nt, t)
+        if len(chunks) == 1:
+            deg_a_tot, bits_a_tot = da, ba
+        else:
+            visited = jnp.zeros((nt,), bool).at[pa].set(True)
+            deg_a_tot = deg_a_tot + jnp.where(visited[:, None], da, 0)
+            bits_a_tot = bits_a_tot | jnp.where(visited[:, None], ba, 0)
+        deg_b = deg_b.at[pb].add(pdeg.reshape(ln, t), mode="drop")
+        pb2 = pbits.reshape(ln, t)
+        for k in range(2 * ki + 1):
+            pk_acc[k] = pk_acc[k].at[pb].max((pb2 >> k) & 1, mode="drop")
+    deg = jnp.where(index.valid, deg_a_tot + deg_b, 0)
+    bits = bits_a_tot
     for k in range(2 * ki + 1):
-        pk = jnp.zeros((nt, t), jnp.int32).at[index.pair_b].max(
-            (pb2 >> k) & 1, mode="drop")
-        bits = bits | (pk << k)
+        bits = bits | (pk_acc[k] << k)
     frame_count = jnp.where(index.valid, _popcount(bits), 0)
     return deg, frame_count

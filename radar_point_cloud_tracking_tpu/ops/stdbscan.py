@@ -121,6 +121,24 @@ def sym_engine_ok(tile: int = 512, has_z: bool = False,
             idx, pay, es, et, query_limit=qlim, bypass_limit=byp,
             use_limit=True))
         ok = ok and bool(np.array_equal(lim_s[v], lim_x[v]))
+        # chunked dispatch (pair lists past the SMEM prefetch budget run
+        # as several kernel calls + a combine): force multiple chunks on
+        # this tiny scene so the combine path is validated on-backend too
+        from .pallas_neighbors import (_core_stats_sym, _core_stats_sym_mf,
+                                       _min_sweep_sym)
+
+        cap = max(8, idx.pair_a.shape[0] // 4)
+        if mf:
+            dmc, fmc = _core_stats_sym_mf(idx, es, et, mf, cap=cap)
+            ok = ok and bool(
+                np.array_equal(np.asarray(dmc)[v], np.asarray(dmf_x)[v])
+                and np.array_equal(np.asarray(fmc)[v],
+                                   np.asarray(fmf_x)[v]))
+        else:
+            deg_c = np.asarray(_core_stats_sym(idx, es, et, cap=cap))
+            ok = ok and bool(np.array_equal(deg_c[v], deg_x[v]))
+        minc = np.asarray(_min_sweep_sym(idx, pay, es, et, cap=cap))
+        ok = ok and bool(np.array_equal(minc[v], min_x[v]))
         _SYM_STATUS[key] = ok
         if not ok:
             import warnings

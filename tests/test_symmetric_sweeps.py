@@ -236,27 +236,88 @@ def test_sym_stats_min_frames_matches_directed(seed):
     assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
 
 
-def test_smem_budget_gate_drops_pair_list(monkeypatch):
-    """Past SYM_PAIR_SMEM_BUDGET the build must drop the pair list (the
-    symmetric kernels prefetch both lists into 1 MiB SMEM; measured on
-    chip: the 9.5M-point denoise scene's 524288-wide list fails Mosaic
-    allocation) and clustering must still run — on the directed hybrid —
-    with identical labels."""
+def test_smem_budget_rounds_width_to_chunks(monkeypatch):
+    """Past SYM_PAIR_SMEM_BUDGET the build keeps the pair list but rounds
+    its width up to a whole number of SMEM-sized chunks (the symmetric
+    kernels prefetch both lists into 1 MiB SMEM; measured on chip: the
+    9.5M-point denoise scene's 524288-wide list fails Mosaic allocation,
+    so wide lists dispatch chunked instead of falling back)."""
     from radar_point_cloud_tracking_tpu.ops import neighbors
-    from radar_point_cloud_tracking_tpu.ops.stdbscan import cluster_index
 
     coords, times, valid = _scene(11)
     args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
             7.0, 2.0)
-    idx_ref = build_spatial_index(*args, tile=64, pairs=True)
-    assert idx_ref.pair_a is not None  # under budget: pairs built
     monkeypatch.setattr(neighbors, "SYM_PAIR_SMEM_BUDGET", 64)
-    idx_gated = build_spatial_index(*args, tile=64, pairs=True)
-    assert idx_gated.pair_a is None
+    cap = neighbors.sym_pair_chunk_cap()
+    idx = build_spatial_index(*args, tile=64, pairs=True)
+    assert idx.pair_a is not None
+    assert idx.pair_a.shape[0] % cap == 0
+    assert idx.pair_a.shape[0] >= int(idx.pair_count)
+
+
+@pytest.mark.parametrize("cap", [8, 16])
+def test_chunked_sym_sweeps_match_single_call(cap):
+    """The chunked dispatch (wide pair lists split into SMEM-sized kernel
+    calls + a visited-masked combine) must bit-match both the single-call
+    symmetric path and the directed engine for every sweep family."""
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        _core_stats_sym, _core_stats_sym_mf, _min_sweep_sym)
+
+    coords, times, valid = _scene(17)
+    n = coords.shape[0]
     es, et = jnp.float32(7.0), jnp.float32(2.0)
-    want = cluster_index(idx_ref, es, et, 5, 1, 0, "always", 256,
-                         use_pallas=True)
-    got = cluster_index(idx_gated, es, et, 5, 1, 0, "always", 256,
-                        use_pallas=True)
-    assert int(want[1]) == int(got[1])
-    assert np.array_equal(np.asarray(want[0]), np.asarray(got[0]))
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    assert idx.pair_a.shape[0] > 2 * cap  # really exercises >2 chunks
+    v = np.asarray(idx.valid)
+
+    want_d, want_f = neighbor_core_stats(idx, es, et, n_offsets=2)
+    got_d = _core_stats_sym(idx, es, et, cap=cap)
+    assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
+    gmf_d, gmf_f = _core_stats_sym_mf(idx, es, et, 2, cap=cap)
+    assert np.array_equal(np.asarray(gmf_d)[v], np.asarray(want_d)[v])
+    assert np.array_equal(np.asarray(gmf_f)[v], np.asarray(want_f)[v])
+
+    rng = np.random.default_rng(1000 + cap)
+    pay_np = rng.integers(0, n, idx.valid.shape).astype(np.int32)
+    pay_np[~v] = INT_MAX
+    payload = jnp.asarray(pay_np)
+    want_m = neighbor_min_sweep(idx, payload, es, et)
+    got_m = _min_sweep_sym(idx, payload, es, et, cap=cap)
+    assert np.array_equal(np.asarray(got_m)[v], np.asarray(want_m)[v])
+
+    qlim = jnp.asarray(rng.integers(0, n, idx.valid.shape).astype(np.int32))
+    byp = jnp.asarray(rng.random(idx.valid.shape) < 0.15)
+    want_l = neighbor_min_sweep(idx, payload, es, et, query_limit=qlim,
+                                bypass_limit=byp, use_limit=True)
+    got_l = _min_sweep_sym(idx, payload, es, et, query_limit=qlim,
+                           bypass_limit=byp, use_limit=True, cap=cap)
+    assert np.array_equal(np.asarray(got_l)[v], np.asarray(want_l)[v])
+
+
+def test_full_cluster_program_chunked_sym_engine(monkeypatch):
+    """End-to-end: with the SMEM budget forced tiny, st_dbscan_device's
+    symmetric engine runs fully chunked and must still bit-match the
+    plain XLA engine (tracker 'always' AND denoiser min_frames modes)."""
+    from radar_point_cloud_tracking_tpu.ops import neighbors
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import st_dbscan_device
+
+    coords, times, valid = _scene(19, n=1100)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0, 6)
+    base, kb = st_dbscan_device(*args, border_mode="always", tile=64,
+                                use_pallas=False)
+    base_mf, kmf = st_dbscan_device(*args, min_frames=2,
+                                    border_mode="if_earlier", tile=64,
+                                    use_pallas=False)
+    monkeypatch.setattr(neighbors, "SYM_PAIR_SMEM_BUDGET", 128)
+    sym, ks = st_dbscan_device(*args, border_mode="always", tile=64,
+                               use_pallas=True)
+    sym_mf, ksmf = st_dbscan_device(*args, min_frames=2,
+                                    border_mode="if_earlier", tile=64,
+                                    use_pallas=True)
+    assert int(kb) == int(ks)
+    assert np.array_equal(np.asarray(base), np.asarray(sym))
+    assert int(kmf) == int(ksmf)
+    assert np.array_equal(np.asarray(base_mf), np.asarray(sym_mf))

@@ -150,24 +150,12 @@ def denoise_section(reps=3):
 
     idx = build(False)
     idx_p = build(True)
-    if idx_p.pair_a is None:
-        # the SMEM budget gate dropped the pair list (measured on chip:
-        # this scene's 524288-wide list asks 2 MiB of 1 MiB SMEM as a
-        # prefetch operand) — the production engine at this scale is the
-        # directed hybrid; record its number and stop
-        print("pair list over SYM_PAIR_SMEM_BUDGET -> symmetric engine "
-              "unavailable at this scale (directed hybrid is production)")
-        lbl, k = cluster_index(idx, es, et, 15, 2, 2, "if_earlier", 256,
-                               use_pallas=on_tpu)
-        jax.block_until_ready(lbl)
-        m, ts = med(lambda: jax.block_until_ready(cluster_index(
-            idx, es, et, 15, 2, 2, "if_earlier", 256,
-            use_pallas=on_tpu)[0]), reps)
-        print(f"den_hybrid   {m:7.0f} ms   reps "
-              f"{[f'{t*1e3:.0f}' for t in ts]}  ({int(k)} clusters)")
-        return
+    from radar_point_cloud_tracking_tpu.ops.neighbors import (
+        sym_pair_chunk_cap)
+
+    n_chunks = -(-idx_p.pair_a.shape[0] // sym_pair_chunk_cap())
     print(f"pairs: {int(idx_p.pair_count):,} "
-          f"(P_pad={idx_p.pair_a.shape[0]})")
+          f"(P_pad={idx_p.pair_a.shape[0]}, {n_chunks} SMEM chunks)")
     dmf_s = core_stats_pallas_sym_mf(idx_p, es, et, 2)
     dmf_x = neighbor_core_stats(idx_p, es, et, n_offsets=2)
     v = np.asarray(idx_p.valid)
