@@ -57,10 +57,23 @@ def sym_pair_chunk_cap() -> int:
     """Pairs per symmetric-kernel dispatch: both int32 lists of one chunk
     must fit the SMEM prefetch budget (8 bytes per pair)."""
     return max(8, SYM_PAIR_SMEM_BUDGET // 8)
+
+
 _QUERY_CHUNK = 16  # query tiles per sweep step (lax.map runs chunks
 # sequentially; measured optimum at bench scale — smaller chunks tighten
 # the per-chunk dynamic loop bound, larger ones amortize per-step
-# overhead: 16/32/64/96 -> 1459/1484/1557/1594 ms cluster program)
+# overhead: 16/32/64/96 -> 1459/1484/1557/1594 ms cluster program).
+# Scaling the chunk with the scene (nt//192, i.e. 80 tiles/chunk at the
+# denoise scene's 20480 tiles) was measured and REJECTED: the directed
+# whole program slowed 26.5 -> 28.8 s (coarser chunks inflate each
+# chunk's dynamic loop bound faster than they amortize dispatch), and
+# the gated sweep's sparse-frontier floor did not move at all.
+
+
+def _query_chunk(num_tiles: int) -> int:
+    """Tiles per sweep step (see _QUERY_CHUNK: constant measured optimum;
+    scene-scaled variants lose)."""
+    return _QUERY_CHUNK
 
 
 @jax.tree_util.register_pytree_node_class
@@ -373,7 +386,7 @@ def neighbor_core_stats(
         _, deg, fbits = jax.lax.while_loop(cond, body, init)
         return deg, fbits
 
-    qcs, qorder = _chunked(index, _QUERY_CHUNK)
+    qcs, qorder = _chunked(index, _query_chunk(index.num_tiles))
     deg_c, fbits_c = jax.lax.map(chunk_fn, qcs)
     deg = _unchunk(deg_c, qorder, num_tiles, tile)
     fbits = _unchunk(fbits_c, qorder, num_tiles, tile)
@@ -439,7 +452,7 @@ def neighbor_min_sweep(
         _, acc = jax.lax.while_loop(cond, body, init)
         return acc
 
-    qcs, qorder = _chunked(index, _QUERY_CHUNK)
+    qcs, qorder = _chunked(index, _query_chunk(index.num_tiles))
     nc = qcs[0].shape[0]
     if use_limit:
         qcs = qcs + (limit_c[qorder].reshape(nc, -1, tile),)
@@ -534,7 +547,7 @@ def neighbor_min_sweep_gated(
     cand_count2 = jnp.sum(want, axis=1, dtype=jnp.int32)
     qorder2 = jnp.argsort(cand_count2, stable=True).astype(jnp.int32)
 
-    qcs, qorder = _chunked(index, _QUERY_CHUNK, qorder=qorder2,
+    qcs, qorder = _chunked(index, _query_chunk(index.num_tiles), qorder=qorder2,
                            cand_idx=cand_idx2, cand_count=cand_count2)
     nc = qcs[0].shape[0]
     qcs = qcs + (acc[qorder].reshape(nc, -1, tile),)
