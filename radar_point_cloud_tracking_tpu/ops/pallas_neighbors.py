@@ -556,6 +556,24 @@ def _pair_fetchers(pa_ref, pb_ref, fplanes_hbm, fbuf, sems):
     return start_fetch, wait_fetch
 
 
+def _sym_prefetch(p, p_pad: int, cnt, start_fetch):
+    """Issue this step's / the next step's tile fetches, GUARDED to live
+    pairs (p < cnt): dead-tail and gated-out steps then cost only the grid
+    bookkeeping instead of two 16 KB DMA streams each — essential for the
+    gated dispatch, where most of the static grid can be dead, and a free
+    ~up-to-25% DMA cut on the bucketed tail of full sweeps.  The matching
+    wait must be guarded by the caller with ``p < cnt`` (an unstarted
+    fetch's semaphore never signals)."""
+
+    @pl.when((p == 0) & (cnt > 0))
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(p + 1 < jnp.minimum(p_pad, cnt))
+    def _():
+        start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+
+
 def _make_sym_stats_kernel(p_pad: int, has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, deg_ref, partial_ref,
@@ -567,14 +585,7 @@ def _make_sym_stats_kernel(p_pad: int, has_z: bool = False):
 
         start_fetch, wait_fetch = _pair_fetchers(
             pa_ref, pb_ref, fplanes_hbm, fbuf, sems)
-
-        @pl.when(p == 0)
-        def _():
-            start_fetch(0, 0)
-
-        @pl.when(p + 1 < p_pad)
-        def _():
-            start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+        _sym_prefetch(p, p_pad, cnt_ref[0], start_fetch)
 
         # dead-tail pairs repeat the last live a (see _pairs_from_
         # candidates), so this init can never clobber an earlier block
@@ -586,11 +597,11 @@ def _make_sym_stats_kernel(p_pad: int, has_z: bool = False):
             deg_ref[...] = jnp.zeros_like(deg_ref)
 
         slot = jax.lax.rem(p, 2)
-        wait_fetch(slot, p)
         partial_ref[...] = jnp.zeros_like(partial_ref)
 
         @pl.when(live)
         def _():
+            wait_fetch(slot, p)
             eps2 = eps_ref[0, 0]
             eps_t = eps_ref[0, 1]
             xa = fbuf[slot, 0, 0]
@@ -631,14 +642,7 @@ def _make_sym_min_kernel(p_pad: int, use_limit: bool = False,
 
         start_fetch, wait_fetch = _pair_fetchers(
             pa_ref, pb_ref, fplanes_hbm, fbuf, sems)
-
-        @pl.when(p == 0)
-        def _():
-            start_fetch(0, 0)
-
-        @pl.when(p + 1 < p_pad)
-        def _():
-            start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+        _sym_prefetch(p, p_pad, cnt_ref[0], start_fetch)
 
         first = jnp.logical_or(
             p == 0, a != pa_ref[jnp.maximum(p - 1, 0)])
@@ -648,11 +652,11 @@ def _make_sym_min_kernel(p_pad: int, use_limit: bool = False,
             acc_ref[...] = jnp.full_like(acc_ref, INT_MAX)
 
         slot = jax.lax.rem(p, 2)
-        wait_fetch(slot, p)
         partial_ref[...] = jnp.full_like(partial_ref, INT_MAX)
 
         @pl.when(live)
         def _():
+            wait_fetch(slot, p)
             eps2 = eps_ref[0, 0]
             eps_t = eps_ref[0, 1]
             xa = fbuf[slot, 0, 0]
@@ -757,14 +761,34 @@ def _sym_grid_spec(t: int, ln: int, n_a_outs: int):
     )
 
 
-def _chunk_args(index: SpatialIndex, base: int, ln: int):
-    """Slice the pair list for one chunk; the live count clamps to the
+def _chunk_args(pa_full, pb_full, count, base: int, ln: int):
+    """Slice a pair list for one chunk; the live count clamps to the
     chunk (dead-tail entries repeat the last live ``a`` with ``b = 0`` and
     identity partial rows, so they contribute nothing downstream)."""
-    pa = jax.lax.slice_in_dim(index.pair_a, base, base + ln)
-    pb = jax.lax.slice_in_dim(index.pair_b, base, base + ln)
-    cnt = jnp.clip(index.pair_count - base, 0, ln).astype(jnp.int32)
+    pa = jax.lax.slice_in_dim(pa_full, base, base + ln)
+    pb = jax.lax.slice_in_dim(pb_full, base, base + ln)
+    cnt = jnp.clip(count - base, 0, ln).astype(jnp.int32)
     return pa, pb, cnt
+
+
+def _compact_active_pairs(index: SpatialIndex, tile_changed):
+    """Stable-compact the pairs touching a changed tile to a prefix of the
+    static-width list (order preserved, so it stays a-major sorted; the
+    tail repeats the LAST active ``a`` so the kernels' a-side block never
+    revisits an earlier tile).  O(P_pad) elementwise work — replacing the
+    directed gated sweep's dense (nt, k_pad) candidate compaction, whose
+    hotspot-widened table costs ~2.8 s per round at denoise scale."""
+    pa, pb = index.pair_a, index.pair_b
+    p_pad = pa.shape[0]
+    live = jnp.arange(p_pad, dtype=jnp.int32) < index.pair_count
+    act = live & (tile_changed[pa] | tile_changed[pb])
+    n_act = jnp.sum(act, dtype=jnp.int32)
+    dest = jnp.where(act, jnp.cumsum(act, dtype=jnp.int32) - 1,
+                     jnp.int32(p_pad))
+    fill = jnp.max(jnp.where(act, pa, 0))
+    pa2 = jnp.full((p_pad + 1,), fill, jnp.int32).at[dest].set(pa)[:p_pad]
+    pb2 = jnp.zeros((p_pad + 1,), jnp.int32).at[dest].set(pb)[:p_pad]
+    return pa2, pb2, n_act
 
 
 def core_stats_pallas_sym(
@@ -798,7 +822,8 @@ def _core_stats_sym(
     deg_a_tot = jnp.zeros((nt, t), jnp.int32)
     deg_b = jnp.zeros((nt, t), jnp.int32)
     for base, ln in chunks:
-        pa, pb, cnt = _chunk_args(index, base, ln)
+        pa, pb, cnt = _chunk_args(index.pair_a, index.pair_b,
+                                  index.pair_count, base, ln)
         deg_a, partial_b = pl.pallas_call(
             _make_sym_stats_kernel(ln,
                                    has_z=index.coords.shape[-1] >= 3),
@@ -847,6 +872,29 @@ def min_sweep_pallas_sym(
                           cap=sym_pair_chunk_cap())
 
 
+def min_sweep_pallas_sym_gated(
+    index: SpatialIndex,
+    payload: jnp.ndarray,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    acc: jnp.ndarray,  # (Ntiles, T) int32 monotone accumulator
+    tile_changed: jnp.ndarray,  # (Ntiles,) bool
+) -> jnp.ndarray:
+    """Gated symmetric min sweep: dispatches ONLY the pairs touching a
+    changed tile (compacted prefix of the static list; guarded DMA skips
+    the dead tail), folding fresh minima into ``acc``.  Same monotone
+    contract as neighbors.neighbor_min_sweep_gated — equals the full
+    sweep's result at every round — but work scales with ACTIVE PAIRS
+    instead of paying the dense candidate-table compaction floor."""
+    from .neighbors import sym_pair_chunk_cap
+
+    pa2, pb2, n_act = _compact_active_pairs(index, tile_changed)
+    fresh = _min_sweep_sym(index, payload, eps_space, eps_time,
+                           cap=sym_pair_chunk_cap(),
+                           pairs_override=(pa2, pb2, n_act))
+    return jnp.minimum(acc, fresh)
+
+
 @functools.partial(jax.jit, static_argnames=("use_limit", "cap"))
 def _min_sweep_sym(
     index: SpatialIndex,
@@ -857,9 +905,15 @@ def _min_sweep_sym(
     bypass_limit: Optional[jnp.ndarray] = None,
     use_limit: bool = False,
     cap: int = 1 << 30,
+    pairs_override=None,  # (pa, pb, count): a compacted (gated) pair list
 ) -> jnp.ndarray:
     nt, t = index.num_tiles, index.tile
-    p_pad = index.pair_a.shape[0]
+    if pairs_override is not None:
+        pa_full, pb_full, count = pairs_override
+    else:
+        pa_full, pb_full, count = (index.pair_a, index.pair_b,
+                                   index.pair_count)
+    p_pad = pa_full.shape[0]
     if use_limit and bypass_limit is None:
         bypass_limit = jnp.zeros((nt, t), jnp.int32)
     fplanes = _sym_fplanes(index, payload,
@@ -867,11 +921,14 @@ def _min_sweep_sym(
                            bypass_limit if use_limit else None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
     chunks = _pair_chunks(p_pad, cap)
+    # a gated (override) list can leave ANY tile unvisited on the a side,
+    # so its blocks must always combine under the per-chunk visited mask
+    masked = pairs_override is not None or len(chunks) > 1
 
     acc_tot = jnp.full((nt, t), INT_MAX, jnp.int32)
     min_b = jnp.full((nt, t), INT_MAX, jnp.int32)
     for base, ln in chunks:
-        pa, pb, cnt = _chunk_args(index, base, ln)
+        pa, pb, cnt = _chunk_args(pa_full, pb_full, count, base, ln)
         acc_a, partial_b = pl.pallas_call(
             _make_sym_min_kernel(ln, use_limit=use_limit,
                                  has_z=index.coords.shape[-1] >= 3),
@@ -881,7 +938,7 @@ def _min_sweep_sym(
             interpret=_interpret(),
         )(pa, pb, cnt.reshape(1), fplanes, eps)
         aa = acc_a.reshape(nt, t)
-        if len(chunks) == 1:
+        if not masked:
             acc_tot = aa
         else:
             visited = jnp.zeros((nt,), bool).at[pa].set(True)
@@ -917,14 +974,7 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
 
         start_fetch, wait_fetch = _pair_fetchers(
             pa_ref, pb_ref, fplanes_hbm, fbuf, sems)
-
-        @pl.when(p == 0)
-        def _():
-            start_fetch(0, 0)
-
-        @pl.when(p + 1 < p_pad)
-        def _():
-            start_fetch(jax.lax.rem(p + 1, 2), p + 1)
+        _sym_prefetch(p, p_pad, cnt_ref[0], start_fetch)
 
         first = jnp.logical_or(p == 0, a != pa_ref[jnp.maximum(p - 1, 0)])
 
@@ -934,12 +984,12 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
             bits_ref[...] = jnp.zeros_like(bits_ref)
 
         slot = jax.lax.rem(p, 2)
-        wait_fetch(slot, p)
         pdeg_ref[...] = jnp.zeros_like(pdeg_ref)
         pbits_ref[...] = jnp.zeros_like(pbits_ref)
 
         @pl.when(live)
         def _():
+            wait_fetch(slot, p)
             eps2 = eps_ref[0, 0]
             eps_t = eps_ref[0, 1]
             xa = fbuf[slot, 0, 0]
@@ -1019,7 +1069,8 @@ def _core_stats_sym_mf(
     # bitmask would NOT be an or)
     pk_acc = [jnp.zeros((nt, t), jnp.int32) for _ in range(2 * ki + 1)]
     for base, ln in chunks:
-        pa, pb, cnt = _chunk_args(index, base, ln)
+        pa, pb, cnt = _chunk_args(index.pair_a, index.pair_b,
+                                  index.pair_count, base, ln)
         deg_a, bits_a, pdeg, pbits = pl.pallas_call(
             _make_sym_stats_mf_kernel(ln, ki,
                                       has_z=index.coords.shape[-1] >= 3),

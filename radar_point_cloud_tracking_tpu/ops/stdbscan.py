@@ -288,28 +288,24 @@ def _cc_step_gated(
     pointer jumps are identical.  ``acc`` carries the monotone per-point
     neighbor minima across rounds and equals the full sweep's result.
 
-    With ``sym`` (pair list present), rounds whose frontier still covers
-    most of the scene run the FULL symmetric-pair sweep instead: the gated
-    sweep walks the DIRECTED candidate relation (2x predicate work per
-    unordered pair), so a dense frontier costs about twice a symmetric
-    full sweep (denoise scene, measured: gated rounds at ~90% frontier
-    5.1 s vs 2.66 s full-sym round).  Folding the full result into the
-    accumulator keeps ``acc``'s equals-the-full-sweep invariant."""
+    With ``sym`` (pair list present), the round instead dispatches the
+    GATED SYMMETRIC sweep: the pairs touching a changed tile compact to a
+    prefix of the static pair list (O(P_pad) elementwise) and only those
+    dispatch, so round cost scales with active pairs.  The directed gated
+    sweep's dense (nt, k_pad) candidate compaction is a frontier-
+    independent floor (~2.8 s/round at denoise scale, where a tile
+    hotspot widens k_pad to 8192) and its sweep does 2x the predicate
+    work per unordered pair (measured: ~90%-frontier rounds 5.1 s
+    directed vs 2.66 s full-symmetric)."""
     n_sorted = label.size
     shape = label.shape
 
     payload = jnp.where(core, label, INT_MAX)
     if sym and index.pair_a is not None:
-        from .pallas_neighbors import min_sweep_pallas_sym
+        from .pallas_neighbors import min_sweep_pallas_sym_gated
 
-        dense_frontier = (2 * jnp.sum(tile_changed, dtype=jnp.int32)
-                          > index.num_tiles)
-        nbr_min = jax.lax.cond(
-            dense_frontier,
-            lambda: jnp.minimum(acc, min_sweep_pallas_sym(
-                index, payload, eps_space, eps_time)),
-            lambda: neighbor_min_sweep_gated(
-                index, payload, eps_space, eps_time, acc, tile_changed))
+        nbr_min = min_sweep_pallas_sym_gated(index, payload, eps_space,
+                                             eps_time, acc, tile_changed)
     else:
         nbr_min = neighbor_min_sweep_gated(index, payload, eps_space,
                                            eps_time, acc, tile_changed)

@@ -296,6 +296,62 @@ def test_chunked_sym_sweeps_match_single_call(cap):
     assert np.array_equal(np.asarray(got_l)[v], np.asarray(want_l)[v])
 
 
+@pytest.mark.parametrize("cap_budget", [None, 128])
+def test_gated_sym_sweep_matches_full_and_directed(monkeypatch, cap_budget):
+    """The gated symmetric sweep (active-pair compaction + guarded DMA)
+    must reproduce the monotone-accumulator contract: starting from a
+    full sweep's accumulator, after payloads decrease in marked tiles it
+    equals BOTH the full sweep of the new payload and the directed gated
+    sweep — at full width and chunked (tiny SMEM budget)."""
+    from radar_point_cloud_tracking_tpu.ops import neighbors
+    from radar_point_cloud_tracking_tpu.ops.neighbors import (
+        neighbor_min_sweep_gated)
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        min_sweep_pallas_sym_gated)
+
+    if cap_budget is not None:
+        monkeypatch.setattr(neighbors, "SYM_PAIR_SMEM_BUDGET", cap_budget)
+    coords, times, valid = _scene(27)
+    n = coords.shape[0]
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    rng = np.random.default_rng(500)
+    pay0 = rng.integers(100, n, idx.valid.shape).astype(np.int32)
+    pay0[~np.asarray(idx.valid)] = INT_MAX
+    acc0 = neighbor_min_sweep(idx, jnp.asarray(pay0), es, et)
+
+    # decrease payloads in some tiles; mark exactly those tiles changed
+    changed_np = np.zeros((idx.num_tiles,), bool)
+    changed_np[rng.choice(idx.num_tiles, max(1, idx.num_tiles // 5),
+                          replace=False)] = True
+    pay1 = pay0.copy()
+    sel = changed_np[:, None] & np.asarray(idx.valid)
+    pay1[sel] = np.maximum(pay1[sel] - 80, 0)
+    payload1 = jnp.asarray(pay1)
+    changed = jnp.asarray(changed_np)
+
+    want_full = neighbor_min_sweep(idx, payload1, es, et)
+    want_directed = neighbor_min_sweep_gated(idx, payload1, es, et, acc0,
+                                             changed)
+    got = min_sweep_pallas_sym_gated(idx, payload1, es, et, acc0, changed)
+    v = np.asarray(idx.valid)
+    assert np.array_equal(np.asarray(got)[v], np.asarray(want_full)[v])
+    assert np.array_equal(np.asarray(got)[v], np.asarray(want_directed)[v])
+
+    # degenerate frontiers: nothing changed -> acc unchanged; all changed
+    # -> equals the full sweep
+    got_none = min_sweep_pallas_sym_gated(
+        idx, payload1, es, et, acc0, jnp.zeros((idx.num_tiles,), bool))
+    assert np.array_equal(np.asarray(got_none)[v], np.asarray(acc0)[v])
+    got_all = min_sweep_pallas_sym_gated(
+        idx, payload1, es, et,
+        jnp.full(idx.valid.shape, INT_MAX, jnp.int32),
+        jnp.ones((idx.num_tiles,), bool))
+    assert np.array_equal(np.asarray(got_all)[v], np.asarray(want_full)[v])
+
+
 def test_full_cluster_program_chunked_sym_engine(monkeypatch):
     """End-to-end: with the SMEM budget forced tiny, st_dbscan_device's
     symmetric engine runs fully chunked and must still bit-match the
