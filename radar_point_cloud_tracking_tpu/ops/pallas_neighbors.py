@@ -738,6 +738,14 @@ def _pair_chunks(p_pad: int, cap: int):
     return out or [(0, p_pad)]
 
 
+# the symmetric kernels materialize a handful of (T, T) int32/f32
+# intermediates per pair block (~1 MB each at T=512, ~4 MB at T=1024);
+# the default 16 MB scoped-VMEM budget fits T=512 but not T=1024, so the
+# limit is raised explicitly (v5e VMEM is 128 MB)
+_SYM_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _sym_grid_spec(t: int, ln: int, n_a_outs: int):
     """Grid spec shared by the symmetric kernels: one grid step per pair,
     ``n_a_outs`` revisited a-side output blocks followed by the same number
@@ -831,6 +839,7 @@ def _core_stats_sym(
             out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                        jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
             interpret=_interpret(),
+            compiler_params=_SYM_COMPILER_PARAMS,
         )(pa, pb, cnt.reshape(1), fplanes, eps)
         da = deg_a.reshape(nt, t)
         if len(chunks) == 1:
@@ -936,6 +945,7 @@ def _min_sweep_sym(
             out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                        jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
             interpret=_interpret(),
+            compiler_params=_SYM_COMPILER_PARAMS,
         )(pa, pb, cnt.reshape(1), fplanes, eps)
         aa = acc_a.reshape(nt, t)
         if not masked:
@@ -1080,6 +1090,7 @@ def _core_stats_sym_mf(
                        jax.ShapeDtypeStruct((ln, 1, t), jnp.int32),
                        jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
             interpret=_interpret(),
+            compiler_params=_SYM_COMPILER_PARAMS,
         )(pa, pb, cnt.reshape(1), fplanes, eps)
         da = deg_a.reshape(nt, t)
         ba = bits_a.reshape(nt, t)
