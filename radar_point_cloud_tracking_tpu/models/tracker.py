@@ -611,18 +611,23 @@ class TrackingPipeline:
             use_pallas = (cfg.device.use_pallas
                           and jax.default_backend() == "tpu")
             tile_sz = cfg.clustering.tile_size
+            sym = use_pallas and sym_engine_ok(tile=tile_sz)
+            # with the symmetric engine live every sweep in this program
+            # runs on the pair list; the directed candidate table is never
+            # read, so skip its build (and the k_pad hint discipline)
             ck = (int(capacity), tile_sz, float(eps_space), float(eps_time),
                   cfg.clustering.cell_size)
             hints = _KPAD_CACHE.get(ck)
             k_hint, p_hint = hints if hints else (None, None)
             if not p_hint:
                 p_hint = None
+            if not k_hint:
+                k_hint = None
             index = build_spatial_index(
                 points[:, :2], points[:, 4], pvalid, eps_space, eps_time,
                 tile=tile_sz, cell_size=cfg.clustering.cell_size,
-                k_pad=k_hint,
-                pairs=use_pallas and sym_engine_ok(tile=tile_sz),
-                p_pad=p_hint)
+                k_pad=None if sym else k_hint,
+                pairs=sym, p_pad=p_hint, directed=not sym)
             while True:
                 labels, num_clusters = cluster_index(
                     index, jnp.float32(eps_space), jnp.float32(eps_time),
@@ -630,17 +635,20 @@ class TrackingPipeline:
                     int(cfg.clustering.max_label_sweeps),
                     use_pallas=use_pallas)
                 # one packed pull (each d2h costs ~30 ms flat); the true
-                # candidate-width maximum (and unordered pair count, when
-                # the symmetric engine is on) ride along to validate hints
+                # candidate-width maximum (directed builds) and unordered
+                # pair count (symmetric builds) ride along to validate hints
                 true_pairs = (index.pair_count if index.pair_count
                               is not None else jnp.int32(0))
+                true_cand = (jnp.max(index.cand_count)
+                             if index.cand_count is not None
+                             else jnp.int32(0))
                 trip = np.asarray(jnp.stack(
                     [jnp.asarray(num_clusters, jnp.int32),
                      jnp.asarray(n_points, jnp.int32),
-                     jnp.max(index.cand_count).astype(jnp.int32),
+                     true_cand.astype(jnp.int32),
                      jnp.asarray(true_pairs, jnp.int32)]))
                 max_cand, n_pairs = int(trip[2]), int(trip[3])
-                overflow = (k_hint is not None
+                overflow = (index.cand_idx is not None and k_hint is not None
                             and max_cand > index.cand_idx.shape[1])
                 if (not overflow and index.pair_a is not None
                         and n_pairs > index.pair_a.shape[0]):
@@ -654,22 +662,26 @@ class TrackingPipeline:
                         points[:, :2], points[:, 4], pvalid, eps_space,
                         eps_time, tile=tile_sz,
                         cell_size=cfg.clustering.cell_size,
-                        pairs=use_pallas and sym_engine_ok(tile=tile_sz))
+                        pairs=sym, directed=not sym)
                     continue
                 break
-            # pow2 buckets keep the compiled shapes stable across runs
-            kp = 1
-            while kp < max(max_cand, 1):
-                kp *= 2
             from ..ops.neighbors import quarter_pow2_bucket
 
+            if index.cand_idx is not None:
+                # pow2 buckets keep the compiled shapes stable across runs
+                kp = 1
+                while kp < max(max_cand, 1):
+                    kp *= 2
+            else:
+                # directed table wasn't built (symmetric run): keep whatever
+                # hint a directed run recorded; 0 = unknown, which makes the
+                # next directed run take the single-sync exact path instead
+                # of a guaranteed-overflow guess
+                kp = hints[0] if hints else 0
             if index.pair_a is not None:
                 pp = quarter_pow2_bucket(n_pairs)
             else:
-                # pairs weren't built this run (non-pallas): keep whatever
-                # hint a pallas run recorded; 0 = unknown, which makes the
-                # next pallas run take the single-sync exact path instead
-                # of a guaranteed-overflow guess
+                # symmetric discipline for the pair hint (non-pallas run)
                 pp = hints[1] if hints else 0
             _KPAD_CACHE[ck] = (kp, pp)
             num_clusters, n_points = int(trip[0]), int(trip[1])

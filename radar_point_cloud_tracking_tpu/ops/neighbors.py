@@ -92,9 +92,12 @@ class SpatialIndex:
     times: jnp.ndarray  # (Ntiles, T)
     valid: jnp.ndarray  # (Ntiles, T)
     perm: jnp.ndarray  # (N,) original index of each sorted slot
-    cand_idx: jnp.ndarray  # (Ntiles, K) candidate tile ids (self included)
-    cand_count: jnp.ndarray  # (Ntiles,) number of valid candidates
-    qorder: jnp.ndarray  # (Ntiles,) tile ids sorted by ascending cand_count
+    # directed candidate table (None on a pairs-only build: the symmetric
+    # kernels never read it, and at the denoise flagship's ~18.5k tiles it
+    # costs ~600 MB of HBM plus a (nt, nt) row argsort to build)
+    cand_idx: Optional[jnp.ndarray] = None  # (Ntiles, K) candidate tile ids
+    cand_count: Optional[jnp.ndarray] = None  # (Ntiles,) valid candidates
+    qorder: Optional[jnp.ndarray] = None  # tile ids by ascending cand_count
     # optional unordered tile-pair list (a-major sorted, a <= b, self pairs
     # included once): the symmetric Pallas sweeps evaluate each pair block
     # ONCE and fold it into both tiles' outputs, halving predicate work on
@@ -203,28 +206,39 @@ def quarter_pow2_bucket(n: int, floor: int = 64) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad",))
-def _pairs_from_candidates(cand_idx, cand_count, p_pad):
+def _pairs_from_mask(mask, p_pad):
     """Unordered tile-pair list (a <= b, self pairs included once) compacted
-    from the candidate table, a-major sorted.  Entries beyond the true count
-    are (0, 0); the true count returns as a device scalar so callers with a
-    static ``p_pad`` hint can detect overflow (dropped pairs) and rebuild."""
-    nt, k = cand_idx.shape
-    rows = jnp.arange(nt, dtype=jnp.int32)[:, None]
-    live = jnp.arange(k, dtype=jnp.int32)[None, :] < cand_count[:, None]
-    keep = live & (cand_idx >= rows)
-    flat_keep = keep.reshape(-1)
-    # stable argsort(~keep) packs kept flat positions first in row-major
-    # order: ascending a, then ascending b (candidate rows are ascending)
-    pos = jnp.argsort(~flat_keep, stable=True)[:p_pad].astype(jnp.int32)
-    sel = flat_keep[pos]
-    pa_live = jnp.where(sel, pos // k, 0)
+    directly from the (nt, nt) overlap mask in row-major order (ascending a,
+    then ascending b) — no directed candidate table required, so a
+    pairs-only index build skips that table entirely.  Entries beyond the
+    true count are (last live a, 0); the true count returns as a device
+    scalar so callers with a static ``p_pad`` hint can detect overflow
+    (dropped pairs) and rebuild."""
+    nt = mask.shape[0]
+    tri = jnp.arange(nt, dtype=jnp.int32)
+    keep = mask & (tri[None, :] >= tri[:, None])
+    # two-level compaction: position within row + exclusive row offsets
+    # (cumsum + scatter, not argsort: the flat argsort this replaced costs
+    # a full O(nt*k log) sort; these are elementwise passes)
+    row_counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    row_off = jnp.cumsum(row_counts) - row_counts
+    within = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
+    dest = jnp.where(keep, row_off[:, None] + within, p_pad)
+    # scatter the flat (a * nt + b) position; (a, b) derive on the narrow
+    # output instead of scattering two full-size operands
+    flatpos = tri[:, None] * nt + tri[None, :]
+    pos = jnp.zeros((p_pad + 1,), jnp.int32).at[
+        jnp.minimum(dest, p_pad).reshape(-1)].set(
+        flatpos.reshape(-1), mode="drop")[:p_pad]
+    count = jnp.sum(row_counts)
+    live = jnp.arange(p_pad, dtype=jnp.int32) < count
     # dead-tail entries repeat the LAST live a (live as are ascending, so
     # max == last): the symmetric kernels' a-side output block then never
     # revisits (and re-initializes) an earlier tile's accumulator
-    pa = jnp.where(sel, pa_live, jnp.max(pa_live)).astype(jnp.int32)
-    pb = jnp.where(sel, cand_idx.reshape(-1)[pos], 0).astype(jnp.int32)
-    count = jnp.sum(keep).astype(jnp.int32)
-    return pa, pb, count
+    pa_live = jnp.where(live, pos // nt, 0)
+    pa = jnp.where(live, pa_live, jnp.max(pa_live)).astype(jnp.int32)
+    pb = jnp.where(live, pos % nt, 0).astype(jnp.int32)
+    return pa, pb, count.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k_pad",))
@@ -250,6 +264,7 @@ def build_spatial_index(
     k_pad: Optional[int] = None,
     pairs: bool = False,
     p_pad: Optional[int] = None,
+    directed: bool = True,
 ) -> SpatialIndex:
     """Build the sorted tile index + pruned candidate lists.
 
@@ -264,17 +279,26 @@ def build_spatial_index(
     for the symmetric Pallas sweeps; its static width comes from ``p_pad``
     (hint; true count returns on the index for overflow detection) or the
     same single host sync that sizes k_pad.
+
+    ``directed=False`` (requires ``pairs``) skips the directed (nt, k_pad)
+    candidate table entirely — callers whose every sweep runs the symmetric
+    pair engine never read it, and at the denoise flagship's scale it costs
+    ~600 MB of HBM plus a (nt, nt) row argsort (the XLA fallback sweeps
+    then raise on such an index, by design).
     """
+    if not directed and not pairs:
+        raise ValueError("directed=False requires pairs=True")
     if cell_size is None:
         cell_size = eps_space
     n = coords.shape[0]
     num_tiles = max(1, -(-n // tile))
+    max_pairs = num_tiles * (num_tiles + 1) // 2
     coords_t, times_t, valid_t, perm, lo, hi, tlo, thi = _sort_and_tile(
         jnp.asarray(coords, jnp.float32), jnp.asarray(times, jnp.float32),
         jnp.asarray(valid), jnp.float32(cell_size), num_tiles, tile)
     mask = _tile_pair_mask(lo, hi, tlo, thi, jnp.float32(eps_space),
                            jnp.float32(eps_time))
-    if k_pad is None or (pairs and p_pad is None):
+    if (directed and k_pad is None) or (pairs and p_pad is None):
         # ONE host sync covers both static widths (tiny packed array)
         counts = jnp.sum(mask, axis=1)
         tri = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -288,22 +312,23 @@ def build_spatial_index(
             k_pad = min(k_pad, num_tiles)
         if pairs and p_pad is None:
             p_pad = quarter_pow2_bucket(p_true)
-    k_pad = min(k_pad, num_tiles)
-    cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
-    qorder = jnp.argsort(cand_count, stable=True).astype(jnp.int32)
+    cand_idx = cand_count = qorder = None
+    if directed:
+        k_pad = min(k_pad, num_tiles)
+        cand_idx, cand_count = _candidates_from_mask(mask, k_pad)
+        qorder = jnp.argsort(cand_count, stable=True).astype(jnp.int32)
     pair_a = pair_b = pair_count = None
     if pairs:
-        width = min(p_pad, num_tiles * k_pad)
+        width = min(p_pad, max_pairs)
         cap = sym_pair_chunk_cap()
         if width > cap:
             # past the SMEM prefetch budget the symmetric wrappers dispatch
             # the list in chunks; rounding the width up to a whole number
             # of chunks keeps every chunk the same compiled shape (clamped
-            # to the flat candidate-table length — a short final chunk is
+            # to the maximum possible pair count — a short final chunk is
             # still correct, it just compiles one extra kernel shape)
-            width = min(cap * -(-width // cap), num_tiles * k_pad)
-        pair_a, pair_b, pair_count = _pairs_from_candidates(
-            cand_idx, cand_count, width)
+            width = min(cap * -(-width // cap), max_pairs)
+        pair_a, pair_b, pair_count = _pairs_from_mask(mask, width)
     return SpatialIndex(coords=coords_t, times=times_t, valid=valid_t,
                         perm=perm, cand_idx=cand_idx, cand_count=cand_count,
                         qorder=qorder, pair_a=pair_a, pair_b=pair_b,

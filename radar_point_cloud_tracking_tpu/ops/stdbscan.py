@@ -492,8 +492,14 @@ def st_dbscan_device(
     n_offsets = int(math.floor(eps_time)) if min_frames > 1 else 0
     pairs = bool(use_pallas) and sym_engine_ok(
         tile=tile, has_z=coords.shape[1] >= 3, n_offsets=n_offsets)
+    # with the symmetric engine live and every sweep it will run covered
+    # (the min_frames stats kernel handles n_offsets <= 3; beyond that
+    # _core_stats falls back to the XLA engine, which needs the table),
+    # the directed candidate table is never read — skip building it
+    directed = (not pairs) or n_offsets > 3
     index = build_spatial_index(coords, times, valid, eps_space, eps_time,
-                                tile=tile, cell_size=cell_size, pairs=pairs)
+                                tile=tile, cell_size=cell_size, pairs=pairs,
+                                directed=directed)
     return cluster_index(
         index, jnp.float32(eps_space), jnp.float32(eps_time),
         int(min_samples), int(min_frames), n_offsets, border_mode,

@@ -377,3 +377,58 @@ def test_full_cluster_program_chunked_sym_engine(monkeypatch):
     assert np.array_equal(np.asarray(base), np.asarray(sym))
     assert int(kmf) == int(ksmf)
     assert np.array_equal(np.asarray(base_mf), np.asarray(sym_mf))
+
+
+def test_pairs_only_build_matches_directed_build():
+    """directed=False (pairs-only) must produce the IDENTICAL pair list
+    the directed build derives — same width, same (a, b) entries, same
+    dead-tail fill — while skipping the candidate table entirely."""
+    for seed in (21, 22):
+        coords, times, valid = _scene(seed, n=1100)
+        args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+                7.0, 2.0)
+        full = build_spatial_index(*args, tile=64, pairs=True)
+        slim = build_spatial_index(*args, tile=64, pairs=True,
+                                   directed=False)
+        assert slim.cand_idx is None
+        assert slim.cand_count is None
+        assert slim.qorder is None
+        assert slim.pair_a.shape == full.pair_a.shape
+        assert int(slim.pair_count) == int(full.pair_count)
+        assert np.array_equal(np.asarray(slim.pair_a),
+                              np.asarray(full.pair_a))
+        assert np.array_equal(np.asarray(slim.pair_b),
+                              np.asarray(full.pair_b))
+        # sorted tile views identical too (same program input either way)
+        assert np.array_equal(np.asarray(slim.coords),
+                              np.asarray(full.coords))
+        assert np.array_equal(np.asarray(slim.perm), np.asarray(full.perm))
+
+
+def test_pairs_only_requires_pairs():
+    coords, times, valid = _scene(23, n=200)
+    with pytest.raises(ValueError):
+        build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                            jnp.asarray(valid), 7.0, 2.0, tile=64,
+                            directed=False)
+
+
+def test_full_cluster_program_on_pairs_only_index():
+    """cluster_index(use_pallas=True) over a pairs-only index (no directed
+    candidate table at all) must bit-match the plain XLA engine — every
+    sweep in the program routes through the symmetric kernels."""
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import cluster_index
+
+    coords, times, valid = _scene(25, n=1300)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0)
+    full = build_spatial_index(*args, tile=64)
+    slim = build_spatial_index(*args, tile=64, pairs=True, directed=False)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    for border_mode, mf, ko in (("always", 1, 0), ("if_earlier", 2, 2)):
+        want, kw = cluster_index(full, es, et, 8, mf, ko, border_mode, 256,
+                                 use_pallas=False)
+        got, kg = cluster_index(slim, es, et, 8, mf, ko, border_mode, 256,
+                                use_pallas=True)
+        assert int(kw) == int(kg)
+        assert np.array_equal(np.asarray(want), np.asarray(got))
