@@ -225,7 +225,9 @@ def _pairs_from_mask(mask, p_pad):
     within = jnp.cumsum(keep, axis=1, dtype=jnp.int32) - 1
     dest = jnp.where(keep, row_off[:, None] + within, p_pad)
     # scatter the flat (a * nt + b) position; (a, b) derive on the narrow
-    # output instead of scattering two full-size operands
+    # output instead of scattering two full-size operands.  int32 bounds
+    # nt at 46k (~23M points at tile 512) — far past where the (nt, nt)
+    # mask itself stops fitting, so the mask is the binding constraint
     flatpos = tri[:, None] * nt + tri[None, :]
     pos = jnp.zeros((p_pad + 1,), jnp.int32).at[
         jnp.minimum(dest, p_pad).reshape(-1)].set(
