@@ -46,23 +46,43 @@ def run_scale(name, points, n, cap, es_f, et_f, min_samples, min_frames,
                                    valid, es_f, et_f, tile=512,
                                    pairs=True, directed=directed)
 
-    tb_full, full = t(lambda: build(True))
-    tb_slim, slim = t(lambda: build(False))
-    print(f"build directed+pairs: {tb_full*1e3:7.0f} ms "
-          f"(k_pad={full.cand_idx.shape[1]}, nt={full.num_tiles})")
-    print(f"build pairs-only:     {tb_slim*1e3:7.0f} ms "
-          f"(pairs={int(full.pair_count):,}/{full.pair_a.shape[0]:,})")
-    assert np.array_equal(np.asarray(full.pair_a), np.asarray(slim.pair_a))
-    assert np.array_equal(np.asarray(full.pair_b), np.asarray(slim.pair_b))
-    assert int(full.pair_count) == int(slim.pair_count)
-    print("pair lists bit-equal: True")
+    def hbm_peak():
+        """Process-wide HBM high-water (monotone) in MiB; 0 off-TPU."""
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            return stats.get("peak_bytes_in_use", 0) / 2**20
+        except Exception:
+            return 0.0
 
     def prog(index):
         return sd.cluster_index(index, es, et, min_samples, min_frames,
                                 n_offsets, border_mode, 256, use_pallas=True)
 
-    tp_full, (lbl_f, k_f) = t(lambda: prog(full), reps=2)
+    # slim FIRST, build+program, before the directed table ever exists:
+    # peak_bytes_in_use is monotone per process, so only this ordering
+    # isolates the pairs-only pipeline's true HBM high-water.  The directed
+    # build then raises the peak by its (nt, k_pad) table (the slim index's
+    # residue inflates its baseline, not its table size).
+    tb_slim, slim = t(lambda: build(False))
+    hbm_slim_build = hbm_peak()
     tp_slim, (lbl_s, k_s) = t(lambda: prog(slim), reps=2)
+    hbm_slim_prog = hbm_peak()
+    tb_full, full = t(lambda: build(True))
+    hbm_full_build = hbm_peak()
+    tp_full, (lbl_f, k_f) = t(lambda: prog(full), reps=2)
+    hbm_full_prog = hbm_peak()
+    print(f"build pairs-only:     {tb_slim*1e3:7.0f} ms "
+          f"(pairs={int(slim.pair_count):,}/{slim.pair_a.shape[0]:,}, "
+          f"hbm_peak={hbm_slim_build:.0f} MiB)")
+    print(f"build directed+pairs: {tb_full*1e3:7.0f} ms "
+          f"(k_pad={full.cand_idx.shape[1]}, nt={full.num_tiles}, "
+          f"hbm_peak={hbm_full_build:.0f} MiB)")
+    assert np.array_equal(np.asarray(full.pair_a), np.asarray(slim.pair_a))
+    assert np.array_equal(np.asarray(full.pair_b), np.asarray(slim.pair_b))
+    assert int(full.pair_count) == int(slim.pair_count)
+    print("pair lists bit-equal: True")
+    print(f"hbm_peak after program: pairs-only {hbm_slim_prog:.0f} MiB, "
+          f"directed {hbm_full_prog:.0f} MiB")
     eq = (int(k_f) == int(k_s)
           and np.array_equal(np.asarray(lbl_f), np.asarray(lbl_s)))
     print(f"cluster program on directed index:   {tp_full*1e3:7.0f} ms "
