@@ -231,11 +231,28 @@ def cluster(ctx, ply_file: Path, output_dir: Optional[Path],
 @click.option("--devices", type=int, default=0,
               help="Shard the pipeline over this many devices of a frame-"
                    "axis mesh (0/1 = single chip).")
+@click.option("--checkpoint-dir", type=click.Path(path_type=Path),
+              default=None,
+              help="Write stage-artifact + tracker-state checkpoints here "
+                   "(cluster stage once done; tracker snapshot every "
+                   "--checkpoint-every frames).")
+@click.option("--checkpoint-every", type=int, default=0,
+              help="Tracker snapshot cadence in frames (0 = snapshot only "
+                   "when tracking completes).")
+@click.option("--resume", is_flag=True,
+              help="Resume from --checkpoint-dir: skips ingest + clustering "
+                   "and already-tracked frames; outputs are byte-identical "
+                   "to an uninterrupted run.")
+@click.option("--interrupt-after-frames", type=int, default=0, hidden=True,
+              help="Testing/ops hook: simulate preemption after this many "
+                   "tracked frames (right after the covering snapshot).")
 @click.pass_context
 def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
           no_land_filter: bool, no_viz: bool, eps_space: float,
           eps_time: float, min_samples: int,
-          intensity_threshold: float, devices: int) -> None:
+          intensity_threshold: float, devices: int,
+          checkpoint_dir: Optional[Path], checkpoint_every: int,
+          resume: bool, interrupt_after_frames: int) -> None:
     """Run the temporal object tracking pipeline."""
     from ..models.tracker import run_tracking_pipeline
     from ..utils.logging import CommandTimer, print_summary
@@ -249,7 +266,9 @@ def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
         data_dir, output_dir, max_frames=max_frames,
         skip_land_filter=no_land_filter, visualize=not no_viz,
         eps_space=eps_space, eps_time=eps_time, min_samples=min_samples,
-        intensity_threshold=intensity_threshold, config=cfg)
+        intensity_threshold=intensity_threshold, config=cfg,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        resume=resume, interrupt_after_frames=interrupt_after_frames)
     rows = {
         "Frames": str(result.ingested.num_frames),
         "Points": f"{result.n_points:,}",

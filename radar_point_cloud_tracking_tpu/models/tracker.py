@@ -31,10 +31,14 @@ from ..ops.tracking import (
     TYPE_BUOY,
     TYPE_UNKNOWN,
     TrackerState,
+    grow_records,
+    grow_state,
+    init_tracker_state,
     pack_state_with,
     track_sequence,
     unpack_state,
 )
+from ..utils import checkpoint as _ckpt
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
 from ..utils.transfer import pull_labels, pull_prefix
@@ -211,6 +215,17 @@ class TrackingResult:
 _SHARD_KPAD_CACHE: Dict[Tuple, int] = {}
 
 
+@dataclass
+class _ResumedSequence:
+    """Minimal ingested-sequence stand-in for checkpoint resume: carries only
+    what TrackingResult consumers read (frame ids + per-frame kept counts)."""
+
+    frame_ids: np.ndarray
+    timestamps_ms: np.ndarray
+    count: np.ndarray
+    num_frames: int
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def _compact_sharded_result(xyi, gain, frame_ids, labels_fc, keep, capacity):
     """Device-side assembly of the sharded result's tight point buffer:
@@ -316,6 +331,9 @@ class TrackingPipeline:
         eps_time: float = 2.0,
         min_samples: int = 15,
         skip_land_filter: bool = False,
+        checkpoint_dir: Optional[Path] = None,
+        checkpoint_every: int = 0,
+        interrupt_after_frames: int = 0,
     ) -> TrackingResult:
         """Parse + ingest + full pipeline, choosing the host land prefilter
         when available.
@@ -329,11 +347,19 @@ class TrackingPipeline:
         """
         lf = self.config.land_filter
         sharded = self.config.device.num_devices > 1
+        if checkpoint_dir is not None and sharded:
+            raise ValueError(
+                "--checkpoint-dir is a single-chip feature; the sharded "
+                "pipeline runs as one program and has no mid-scan snapshot "
+                "point (drop --devices or --checkpoint-dir)")
         use_prefilter = (not skip_land_filter and lf.enabled
                          and lf.host_prefilter and loader.sparse)
         run = (self.run_on_frames_sharded if sharded else
                functools.partial(self.run_on_frames,
-                                 quiet_land_skip=use_prefilter))
+                                 quiet_land_skip=use_prefilter,
+                                 checkpoint_dir=checkpoint_dir,
+                                 checkpoint_every=checkpoint_every,
+                                 interrupt_after_frames=interrupt_after_frames))
         t0 = _time.perf_counter()
         if use_prefilter:
             ingested, info = loader.load_sequence_land_filtered(
@@ -546,6 +572,193 @@ class TrackingPipeline:
             timings=timer.report(),
         )
 
+    # ---- checkpoint/resume (SURVEY §5: stage-artifact model + tracker-
+    # state snapshot).  Clustering is whole-sequence (eps_time couples
+    # frames), so it checkpoints as ONE artifact when done; the tracking
+    # scan is Markovian over absolute frame ids, so it checkpoints every
+    # ``checkpoint_every`` frames and resumes bit-exactly. ------------------
+
+    def _resolve_cluster_stats(self, points, labels, pvalid, num_clusters,
+                               f: int):
+        """Per-frame cluster stats with the label/cluster capacities
+        resolved by grow-and-retry (same discipline as run_on_frames)."""
+        cfg = self.config
+        label_cap = 1 << max(6, (max(num_clusters, 1) - 1).bit_length())
+        max_c = cfg.tracking.max_clusters_per_frame
+        while True:
+            cs = per_frame_cluster_stats(
+                points[:, :2], points[:, 2],
+                points[:, 3].astype(jnp.int32), labels, pvalid,
+                num_frames=f, label_cap=label_cap, max_clusters=max_c)
+            needed = int(jnp.max(cs.present_count))
+            if needed > max_c:
+                self._log(f"  [capacity] {needed} clusters in one frame "
+                          f"exceeds max_clusters_per_frame={max_c}; "
+                          "growing and recomputing")
+                max_c = 1 << (needed - 1).bit_length()
+                continue
+            return cs
+
+    def _track_chunked(
+        self,
+        cs,
+        frame_ids: np.ndarray,
+        f: int,
+        checkpoint_dir: Optional[Path],
+        checkpoint_every: int,
+        interrupt_after_frames: int = 0,
+        snapshot=None,
+    ):
+        """Tracking scan in checkpoint_every-frame chunks with carried state.
+
+        Chunked == single-scan bit-exact (the per-step body is identical and
+        the state is the full Markov carry; tests/test_checkpoint.py).  An
+        object-table overflow re-runs only the current chunk with a grown
+        table: earlier chunks never dropped a creation, and slot assignment
+        is padding-invariant (ops/tracking.py grow_state), so their records
+        stay exact after padding."""
+        cfg = self.config
+        h = cfg.tracking.motion_history_frames
+        if snapshot is not None:
+            state, cursor, rec_prev = snapshot
+            max_obj = int(state.active.shape[0])
+            parts = [rec_prev] if cursor > 0 else []
+            self._log(f"  Resuming tracking at frame {cursor}/{f} "
+                      f"(object table {max_obj})")
+        else:
+            max_obj = cfg.tracking.max_objects
+            state = init_tracker_state(max_obj, h)
+            cursor, parts = 0, []
+        every = checkpoint_every if checkpoint_every > 0 else f
+        fid_dev = jnp.asarray(frame_ids, jnp.int32)
+        records = parts[0] if parts else None
+        while cursor < f:
+            end = min(cursor + every, f)
+            while True:
+                st2, rec = track_sequence(
+                    cs.centroids[cursor:end], cs.valid[cursor:end],
+                    fid_dev[cursor:end], max_objects=max_obj,
+                    history=h, max_missed=cfg.tracking.max_missed_frames,
+                    max_dist=cfg.tracking.max_association_distance,
+                    stationary=cfg.tracking.stationary_velocity_threshold,
+                    init_state=state)
+                n_dropped = int(jnp.sum(rec["dropped"]))
+                if n_dropped > 0:
+                    self._log(f"  [capacity] object table full: {n_dropped} "
+                              f"creation(s) dropped at max_objects="
+                              f"{max_obj}; growing and re-running the chunk")
+                    max_obj *= 2
+                    state = grow_state(state, max_obj)
+                    parts = [grow_records(p, max_obj) for p in parts]
+                    continue
+                break
+            state = st2
+            parts.append(jax.tree_util.tree_map(np.asarray, rec))
+            cursor = end
+            records = {k: np.concatenate([p[k] for p in parts], axis=0)
+                       for k in parts[0]}
+            if checkpoint_dir is not None:
+                _ckpt.save_tracker_snapshot(
+                    Path(checkpoint_dir),
+                    jax.tree_util.tree_map(np.asarray, state),
+                    cursor, records)
+            if (interrupt_after_frames and cursor >= interrupt_after_frames
+                    and cursor < f):
+                raise _ckpt.CheckpointInterrupt(cursor, checkpoint_dir)
+        state_np = jax.tree_util.tree_map(np.asarray, state)
+        return state_np, records
+
+    def _save_cluster_stage(self, checkpoint_dir: Path, points, labels,
+                            n_points: int, num_clusters: int,
+                            frame_ids, f: int, land_cells: int,
+                            removed: int, params: tuple) -> None:
+        _ckpt.save_stage_artifact(
+            Path(checkpoint_dir) / _ckpt.CLUSTER_STAGE_FILE,
+            points=np.asarray(points[:n_points]),
+            labels=np.asarray(labels[:n_points]),
+            num_clusters=np.asarray(num_clusters, np.int64),
+            frame_ids=np.asarray(frame_ids, np.int32),
+            num_frames=np.asarray(f, np.int64),
+            land_cells=np.asarray(land_cells, np.int64),
+            land_points_removed=np.asarray(removed, np.int64),
+            params=np.asarray(params, np.float64))
+
+    def resume_from_checkpoint(
+        self,
+        checkpoint_dir: Path,
+        checkpoint_every: int = 0,
+        interrupt_after_frames: int = 0,
+        expected_params: Optional[tuple] = None,
+    ) -> TrackingResult:
+        """Resume a checkpointed tracking run: load the cluster-stage
+        artifact (skipping ingest + clustering), restore the latest tracker
+        snapshot if one exists, finish the tracking scan, and return a
+        TrackingResult whose CSV artifacts are byte-identical to an
+        uninterrupted run (tests/test_checkpoint.py)."""
+        checkpoint_dir = Path(checkpoint_dir)
+        timer = StageTimer(verbose=self.verbose)
+        with timer.stage("load_checkpoint"):
+            art = _ckpt.load_stage_artifact(
+                checkpoint_dir / _ckpt.CLUSTER_STAGE_FILE)
+            if expected_params is not None:
+                saved = tuple(art["params"])
+                if tuple(float(p) for p in expected_params) != saved:
+                    raise ValueError(
+                        f"checkpoint at {checkpoint_dir} was written with "
+                        f"(eps_space, eps_time, min_samples)={saved}; "
+                        f"resume requested {tuple(expected_params)} — rerun "
+                        "without --resume or match the parameters")
+            pts_np = art["points"]
+            lbl_np = art["labels"]
+            n_points = int(pts_np.shape[0])
+            num_clusters = int(art["num_clusters"])
+            f = int(art["num_frames"])
+            frame_ids = np.asarray(art["frame_ids"], np.int32)
+            capacity = _quarter_pow2(n_points)
+            pad = capacity - n_points
+            points = jnp.concatenate([
+                jnp.asarray(pts_np, jnp.float32),
+                jnp.full((pad, pts_np.shape[1]), PAD_COORD, jnp.float32)])
+            labels = jnp.concatenate([
+                jnp.asarray(lbl_np, jnp.int32),
+                jnp.full((pad,), -1, jnp.int32)])
+            pvalid = jnp.arange(capacity) < n_points
+            snapshot = _ckpt.load_tracker_snapshot(checkpoint_dir)
+
+        with timer.stage("tracking"):
+            cs = self._resolve_cluster_stats(points, labels, pvalid,
+                                             num_clusters, f)
+            state, records = self._track_chunked(
+                cs, frame_ids, f, checkpoint_dir, checkpoint_every,
+                interrupt_after_frames, snapshot=snapshot)
+
+        counts = np.bincount(pts_np[:, 3].astype(np.int64), minlength=f)
+        ingested = _ResumedSequence(
+            frame_ids=frame_ids,
+            timestamps_ms=np.zeros((f,), np.int64),
+            count=counts.astype(np.int64),
+            num_frames=f,
+        )
+        return TrackingResult(
+            ingested=ingested,
+            labels_dev=labels,
+            points_dev=points,
+            n_points=n_points,
+            num_clusters=num_clusters,
+            state=state,
+            records_dev=records,
+            cluster_stats_dev={
+                "centroids": cs.centroids,
+                "valid": cs.valid,
+                "label": cs.label,
+                "num_points": cs.num_points,
+                "mean_intensity": cs.mean_intensity,
+            },
+            land_cells=int(art["land_cells"]),
+            land_points_removed=int(art["land_points_removed"]),
+            timings=timer.report(),
+        )
+
     def run_on_frames(
         self,
         ingested: IngestedFrames,
@@ -554,6 +767,9 @@ class TrackingPipeline:
         min_samples: int = 15,
         skip_land_filter: bool = False,
         quiet_land_skip: bool = False,
+        checkpoint_dir: Optional[Path] = None,
+        checkpoint_every: int = 0,
+        interrupt_after_frames: int = 0,
     ) -> TrackingResult:
         cfg = self.config
         timer = StageTimer(verbose=self.verbose)
@@ -687,6 +903,40 @@ class TrackingPipeline:
             num_clusters, n_points = int(trip[0]), int(trip[1])
             self._log(f"  Found {num_clusters} clusters over {n_points:,} points")
 
+        if checkpoint_dir is not None:
+            # stage-artifact checkpoint: the global cluster stage is done,
+            # so a killed-and-resumed run never re-ingests or re-clusters
+            with timer.stage("checkpoint_cluster"):
+                self._save_cluster_stage(
+                    checkpoint_dir, points, labels, n_points, num_clusters,
+                    ingested.frame_ids, f, land_cells, removed,
+                    (float(eps_space), float(eps_time), float(min_samples)))
+            with timer.stage("tracking"):
+                cs = self._resolve_cluster_stats(
+                    points, labels, pvalid, num_clusters, f)
+                state, records = self._track_chunked(
+                    cs, np.asarray(ingested.frame_ids), f, checkpoint_dir,
+                    checkpoint_every, interrupt_after_frames)
+            return TrackingResult(
+                ingested=ingested,
+                labels_dev=labels,
+                points_dev=points,
+                n_points=n_points,
+                num_clusters=num_clusters,
+                state=state,
+                records_dev=records,
+                cluster_stats_dev={
+                    "centroids": cs.centroids,
+                    "valid": cs.valid,
+                    "label": cs.label,
+                    "num_points": cs.num_points,
+                    "mean_intensity": cs.mean_intensity,
+                },
+                land_cells=land_cells,
+                land_points_removed=removed,
+                timings=timer.report(),
+            )
+
         # ---- per-frame cluster stats + tracking (one stage: the stats
         # program and the tracking scan dispatch back-to-back) ------------
         # capacities grow-and-retry on overflow: the reference tracker is
@@ -772,12 +1022,44 @@ def run_tracking_pipeline(
     point_stride: int = 4,
     config: Optional[PipelineConfig] = None,
     verbose: bool = True,
+    checkpoint_dir: Optional[Path] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    interrupt_after_frames: int = 0,
 ) -> TrackingResult:
-    """Full tracker pipeline from a gain_XX directory tree to artifacts."""
+    """Full tracker pipeline from a gain_XX directory tree to artifacts.
+
+    ``checkpoint_dir`` enables the stage-artifact + tracker-snapshot
+    checkpoints (utils/checkpoint.py); ``resume`` restarts from them,
+    skipping ingest + clustering and any already-tracked frames, with
+    byte-identical CSV artifacts.  ``interrupt_after_frames`` simulates a
+    preemption right after the snapshot covering that frame lands (testing
+    and ops drills)."""
     config = config or PipelineConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     pipe = TrackingPipeline(config, verbose=verbose)
+
+    if resume:
+        if checkpoint_dir is None:
+            raise ValueError("--resume requires --checkpoint-dir")
+        art = Path(checkpoint_dir) / _ckpt.CLUSTER_STAGE_FILE
+        if art.exists():
+            pipe._log("=" * 60)
+            pipe._log("TEMPORAL OBJECT TRACKING PIPELINE (TPU) — RESUME")
+            pipe._log("=" * 60)
+            result = pipe.resume_from_checkpoint(
+                checkpoint_dir, checkpoint_every, interrupt_after_frames,
+                expected_params=(eps_space, eps_time, min_samples))
+            result.save_csvs(output_dir)
+            pipe._log(f"\nSaved CSV artifacts to {output_dir}")
+            if visualize:
+                from ..viz.tracking_plots import render_tracking_outputs
+
+                render_tracking_outputs(result, output_dir, config)
+            return result
+        pipe._log(f"No checkpoint found at {checkpoint_dir}; "
+                  "running from scratch")
 
     pipe._log("=" * 60)
     pipe._log("TEMPORAL OBJECT TRACKING PIPELINE (TPU)")
@@ -805,7 +1087,9 @@ def run_tracking_pipeline(
     pipe._log("\n[5/6] + [6/6] Clustering and tracking...")
     result = pipe.ingest_and_run(
         frame_files, loader, eps_space=eps_space, eps_time=eps_time,
-        min_samples=min_samples, skip_land_filter=skip_land_filter)
+        min_samples=min_samples, skip_land_filter=skip_land_filter,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        interrupt_after_frames=interrupt_after_frames)
     total_points = int(jnp.sum(result.ingested.count))
     pipe._log(f"  Built {result.ingested.num_frames} frames, "
               f"{total_points:,} points after filtering")

@@ -37,6 +37,10 @@ __all__ = [
 ]
 
 INT_MAX = np.int32(2**31 - 1)
+# largest tile count the index supports: _pairs_from_mask scatters the flat
+# int32 position a * nt + b, so nt*nt must stay below 2^31 (isqrt(2^31-1));
+# the (nt, nt) overlap mask stops fitting in HBM well before this anyway
+MAX_NUM_TILES = 46_340
 # invalid points' coordinates inside the sorted index (matches
 # ops/geometry.PAD_COORD): any valid-invalid pair fails the distance test
 # by construction, so the pair predicate needs no validity operands
@@ -102,7 +106,9 @@ class SpatialIndex:
     # included once): the symmetric Pallas sweeps evaluate each pair block
     # ONCE and fold it into both tiles' outputs, halving predicate work on
     # full-table sweeps.  pair_count (device scalar) is the live length;
-    # entries beyond it are (0, 0) and skipped.
+    # entries beyond it are (last live a, 0) — the dead tail repeats the
+    # final live a-tile so the kernels' a-side output block never revisits
+    # an earlier tile's accumulator (see _pairs_from_mask).
     pair_a: Optional[jnp.ndarray] = None  # (P_pad,) int32
     pair_b: Optional[jnp.ndarray] = None  # (P_pad,) int32
     pair_count: Optional[jnp.ndarray] = None  # () int32
@@ -294,6 +300,17 @@ def build_spatial_index(
         cell_size = eps_space
     n = coords.shape[0]
     num_tiles = max(1, -(-n // tile))
+    if num_tiles > MAX_NUM_TILES:
+        # fail fast with the remedy instead of an opaque OOM: the (nt, nt)
+        # overlap mask and _pairs_from_mask's int32 flat position a*nt+b
+        # both bound nt (the int32 bound, 46,340, is binding — the bool
+        # mask alone would be ~2.1 GB there).  ~23M points at tile=512.
+        raise ValueError(
+            f"spatial index would need {num_tiles} tiles for {n} points at "
+            f"tile={tile}, past the supported maximum of {MAX_NUM_TILES} "
+            f"(the (nt, nt) tile-overlap mask / int32 pair-position bound). "
+            f"Raise tile_size (e.g. {1 << (-(-n // MAX_NUM_TILES) - 1).bit_length()}) "
+            "or reduce the point count per clustering call.")
     max_pairs = num_tiles * (num_tiles + 1) // 2
     coords_t, times_t, valid_t, perm, lo, hi, tlo, thi = _sort_and_tile(
         jnp.asarray(coords, jnp.float32), jnp.asarray(times, jnp.float32),
@@ -504,6 +521,11 @@ def _chunked(index: SpatialIndex, chunk: int, qorder=None, cand_idx=None,
     o = index.qorder if qorder is None else qorder
     ci = index.cand_idx if cand_idx is None else cand_idx
     cc = index.cand_count if cand_count is None else cand_count
+    if o is None or ci is None or cc is None:
+        raise ValueError(
+            "index was built pairs-only (directed=False); this XLA fallback "
+            "sweep needs the directed candidate table — rebuild with "
+            "build_spatial_index(..., directed=True)")
     return (
         index.coords[o].reshape(nc, c, tile, d),
         index.times[o].reshape(nc, c, tile),
@@ -534,6 +556,11 @@ def neighbor_min_sweep_gated(
     eps2 = eps_space * eps_space
     coords, times, valid = index.coords, index.times, index.valid
     num_tiles, tile = index.num_tiles, index.tile
+    if index.cand_idx is None:
+        raise ValueError(
+            "index was built pairs-only (directed=False); the gated XLA "
+            "sweep needs the directed candidate table — rebuild with "
+            "build_spatial_index(..., directed=True)")
     k = index.cand_idx.shape[1]
 
     def chunk_fn(args):

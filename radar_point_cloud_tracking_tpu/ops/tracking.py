@@ -30,7 +30,8 @@ from ..config import TrackingConfig
 from .hungarian import solve_lsa
 
 __all__ = ["TrackerState", "init_tracker_state", "tracker_step",
-           "track_sequence", "pack_state_with", "unpack_state",
+           "track_sequence", "grow_state", "grow_records",
+           "pack_state_with", "unpack_state",
            "TYPE_UNKNOWN", "TYPE_BUOY", "TYPE_BOAT"]
 
 TYPE_UNKNOWN = 0
@@ -246,9 +247,26 @@ def tracker_step(
     return new_state, record
 
 
-@functools.partial(jax.jit, static_argnames=("max_objects", "history",
-                                             "max_missed", "max_dist",
-                                             "stationary"))
+@functools.partial(jax.jit, static_argnames=("history", "max_missed",
+                                             "max_dist", "stationary"))
+def _track_scan(
+    state0: TrackerState,
+    centroids: jnp.ndarray,  # (F, C, 2)
+    cluster_valid: jnp.ndarray,  # (F, C) bool
+    frame_ids: jnp.ndarray,  # (F,) int32
+    history: int,
+    max_missed: int,
+    max_dist: float,
+    stationary: float,
+) -> Tuple[TrackerState, dict]:
+    def step(state, inputs):
+        cents, cvalid, fid = inputs
+        return tracker_step(state, cents, cvalid, fid, history, max_missed,
+                            max_dist, stationary)
+
+    return jax.lax.scan(step, state0, (centroids, cluster_valid, frame_ids))
+
+
 def track_sequence(
     centroids: jnp.ndarray,  # (F, C, 2)
     cluster_valid: jnp.ndarray,  # (F, C) bool
@@ -258,19 +276,57 @@ def track_sequence(
     max_missed: int,
     max_dist: float,
     stationary: float,
+    init_state: TrackerState | None = None,
 ) -> Tuple[TrackerState, dict]:
-    """Track a whole frame sequence in one scan.
+    """Track a frame sequence in one scan.
+
+    ``init_state`` resumes from a prior state (checkpoint/resume and chunked
+    tracking); the state transition is Markovian over absolute frame ids, so
+    scanning frames ``[0, k)`` then ``[k, F)`` with the carried state is
+    bit-identical to one ``[0, F)`` scan (tests/test_checkpoint.py).
 
     Returns (final state, per-frame records stacked along axis 0).
     """
-    state0 = init_tracker_state(max_objects, history)
+    if init_state is None:
+        init_state = init_tracker_state(max_objects, history)
+    return _track_scan(init_state, centroids, cluster_valid, frame_ids,
+                       history, max_missed, max_dist, stationary)
 
-    def step(state, inputs):
-        cents, cvalid, fid = inputs
-        return tracker_step(state, cents, cvalid, fid, history, max_missed,
-                            max_dist, stationary)
 
-    return jax.lax.scan(step, state0, (centroids, cluster_valid, frame_ids))
+def grow_state(state: TrackerState, new_max_objects: int) -> TrackerState:
+    """Pad the object table to ``new_max_objects`` slots (new slots inactive).
+
+    Slot assignment ranks free slots in index order, so extending the table
+    with trailing free slots never changes which slot an existing creation
+    takes — results are padding-invariant while the smaller table never
+    overflowed (the grow-and-retry contract in models/tracker.py)."""
+    o = state.active.shape[0]
+    extra = new_max_objects - o
+    if extra <= 0:
+        return state
+
+    def pad(leaf):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim == 0:  # next_id
+            return leaf
+        return jnp.concatenate(
+            [leaf, jnp.zeros((extra,) + leaf.shape[1:], leaf.dtype)])
+
+    return TrackerState(*[pad(leaf) for leaf in state])
+
+
+def grow_records(records: dict, new_max_objects: int) -> dict:
+    """Pad per-frame record leaves from (F, O, ...) to (F, new_O, ...)."""
+    out = {}
+    for k, v in records.items():
+        v = np.asarray(v)
+        if v.ndim >= 2 and k != "dropped":
+            extra = new_max_objects - v.shape[1]
+            if extra > 0:
+                pad = np.zeros((v.shape[0], extra) + v.shape[2:], v.dtype)
+                v = np.concatenate([v, pad], axis=1)
+        out[k] = v
+    return out
 
 
 @jax.jit

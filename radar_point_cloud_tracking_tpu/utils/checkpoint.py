@@ -1,10 +1,24 @@
 """Checkpoint / resume support.
 
 The reference has no mid-pipeline checkpointing — its stage outputs on disk
-act as implicit checkpoints between independently-runnable stages (SURVEY
-§5).  This module keeps that stage-artifact model and adds what the
-reference lacks: a tracker-state snapshot so a streaming tracking run can
-resume mid-sequence with identical results.
+act as implicit checkpoints between independently-runnable stages, and the
+experiment harness saves intermediate JSON after every experiment
+(PointCloudWorkF/run_experiments.py:492-494; SURVEY §5).  This module keeps
+that stage-artifact model and adds what the reference lacks: a tracker-state
+snapshot so a streaming tracking run can resume mid-sequence with
+bit-identical results.
+
+Layout of a checkpoint directory (models/tracker.py writes it when
+``track --checkpoint-dir`` is given):
+
+- ``cluster_stage.npz``   — the global cluster stage's outputs (tight point
+  buffer, labels, frame ids, land stats).  Clustering is whole-sequence
+  (eps_time couples frames), so it checkpoints as one artifact once done;
+  a resumed run skips ingest + clustering entirely.
+- ``tracker_state.npz``   — tracker state + resume cursor, refreshed every
+  ``checkpoint_every`` frames during the tracking scan.
+- ``tracker_records.npz`` — per-frame tracking records accumulated so far
+  (needed to emit trajectories.csv without re-tracking resumed frames).
 """
 
 from __future__ import annotations
@@ -14,10 +28,29 @@ import numpy as np
 
 from ..ops.tracking import TrackerState
 
-__all__ = ["save_tracker_state", "load_tracker_state",
-           "save_stage_artifact", "load_stage_artifact"]
+__all__ = ["CheckpointInterrupt", "save_tracker_state", "load_tracker_state",
+           "save_stage_artifact", "load_stage_artifact",
+           "CLUSTER_STAGE_FILE", "TRACKER_STATE_FILE", "TRACKER_RECORDS_FILE",
+           "save_tracker_snapshot", "load_tracker_snapshot"]
 
 _STATE_FIELDS = TrackerState._fields
+
+CLUSTER_STAGE_FILE = "cluster_stage.npz"
+TRACKER_STATE_FILE = "tracker_state.npz"
+TRACKER_RECORDS_FILE = "tracker_records.npz"
+
+
+class CheckpointInterrupt(RuntimeError):
+    """Raised by the tracking driver's simulated-preemption hook
+    (``interrupt_after_frames``) right after a snapshot lands on disk, so
+    tests and ops drills can exercise resume without killing the process."""
+
+    def __init__(self, frames_done: int, checkpoint_dir: Path):
+        self.frames_done = frames_done
+        self.checkpoint_dir = Path(checkpoint_dir)
+        super().__init__(
+            f"tracking interrupted after {frames_done} frames; resume from "
+            f"{checkpoint_dir}")
 
 
 def save_tracker_state(path: Path, state: TrackerState,
@@ -52,3 +85,36 @@ def save_stage_artifact(path: Path, **arrays) -> None:
 def load_stage_artifact(path: Path) -> dict:
     data = np.load(Path(path), allow_pickle=False)
     return {k: data[k] for k in data.files}
+
+
+def save_tracker_snapshot(checkpoint_dir: Path, state: TrackerState,
+                          next_frame_pos: int, records: dict) -> None:
+    """Atomically refresh the tracker snapshot pair (state+cursor, records).
+
+    Writes land via a temp file + rename so a kill mid-write leaves the
+    previous consistent snapshot in place."""
+    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    for name, write in (
+        (TRACKER_STATE_FILE,
+         lambda p: save_tracker_state(p, state, next_frame_pos)),
+        (TRACKER_RECORDS_FILE,
+         lambda p: np.savez(p, **{k: np.asarray(v)
+                                  for k, v in records.items()})),
+    ):
+        tmp = checkpoint_dir / (name + ".tmp.npz")
+        write(tmp)
+        tmp.replace(checkpoint_dir / name)
+
+
+def load_tracker_snapshot(checkpoint_dir: Path):
+    """Load (state, next_frame_pos, records) or None if no snapshot exists."""
+    checkpoint_dir = Path(checkpoint_dir)
+    state_path = checkpoint_dir / TRACKER_STATE_FILE
+    records_path = checkpoint_dir / TRACKER_RECORDS_FILE
+    if not (state_path.exists() and records_path.exists()):
+        return None
+    state, pos = load_tracker_state(state_path)
+    with np.load(records_path) as data:
+        records = {k: data[k] for k in data.files}
+    return state, pos, records

@@ -1,0 +1,268 @@
+"""Checkpoint/resume: chunked-scan exactness, snapshot roundtrip, and the
+end-to-end interrupted-run -> resumed-run byte-identity of CSV artifacts.
+
+The reference has no mid-pipeline checkpointing (stage outputs act as
+implicit checkpoints; run_experiments.py:492-494 saves intermediate JSON);
+SURVEY §5 names the tracker-state snapshot as the TPU framework's addition.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from radar_point_cloud_tracking_tpu.config import PipelineConfig
+from radar_point_cloud_tracking_tpu.models.tracker import (
+    run_tracking_pipeline,
+)
+from radar_point_cloud_tracking_tpu.ops.tracking import (
+    grow_records,
+    grow_state,
+    track_sequence,
+)
+from radar_point_cloud_tracking_tpu.utils import checkpoint as ckpt
+
+from tests.conftest import make_radar_csv
+
+CSV_NAMES = ("tracked_objects.csv", "trajectories.csv", "clusters.csv")
+
+
+# ---------------------------------------------------------------------------
+# unit: chunked scan == single scan, grow-state padding invariance
+# ---------------------------------------------------------------------------
+
+def _random_scene(f=12, c=5, seed=0):
+    rng = np.random.default_rng(seed)
+    cents = rng.uniform(-100.0, 100.0, (f, c, 2)).astype(np.float32)
+    valid = rng.random((f, c)) < 0.7
+    fids = (np.arange(f, dtype=np.int32) * 2 + 1)  # id gaps like real frames
+    return jnp.asarray(cents), jnp.asarray(valid), jnp.asarray(fids)
+
+
+_KW = dict(history=5, max_missed=3, max_dist=60.0, stationary=1.0)
+
+
+def _assert_state_equal(a, b):
+    for name, la, lb in zip(a._fields, a, b):
+        assert np.array_equal(np.asarray(la), np.asarray(lb)), name
+
+
+def test_chunked_scan_bitexact():
+    """Scanning [0,k) then [k,F) with the carried state must bit-match one
+    [0,F) scan — the property checkpoint/resume rests on."""
+    cents, valid, fids = _random_scene()
+    f = cents.shape[0]
+    st_full, rec_full = track_sequence(cents, valid, fids, max_objects=8,
+                                       **_KW)
+    for split in (1, 4, 5, 11):
+        st = None
+        parts = []
+        for s in range(0, f, split):
+            e = min(s + split, f)
+            st, rec = track_sequence(cents[s:e], valid[s:e], fids[s:e],
+                                     max_objects=8, init_state=st, **_KW)
+            parts.append(jax.tree_util.tree_map(np.asarray, rec))
+        _assert_state_equal(st_full, st)
+        for k in rec_full:
+            got = np.concatenate([p[k] for p in parts], axis=0)
+            assert np.array_equal(np.asarray(rec_full[k]), got), (split, k)
+
+
+def test_grow_state_padding_invariance():
+    """A chunk tracked at table size O (no drops), then grown to 2O for the
+    rest, must match the full scan at 2O after record padding — the per-chunk
+    grow-and-retry contract."""
+    cents, valid, fids = _random_scene(f=10, c=3, seed=3)
+    st_full, rec_full = track_sequence(cents, valid, fids, max_objects=16,
+                                       **_KW)
+    st_small, rec1 = track_sequence(cents[:5], valid[:5], fids[:5],
+                                    max_objects=8, **_KW)
+    assert int(jnp.sum(rec1["dropped"])) == 0
+    st_grown = grow_state(st_small, 16)
+    st2, rec2 = track_sequence(cents[5:], valid[5:], fids[5:],
+                               max_objects=16, init_state=st_grown, **_KW)
+    _assert_state_equal(st_full, st2)
+    rec1p = grow_records(jax.tree_util.tree_map(np.asarray, rec1), 16)
+    rec2 = jax.tree_util.tree_map(np.asarray, rec2)
+    for k in rec_full:
+        got = np.concatenate([rec1p[k], rec2[k]], axis=0)
+        assert np.array_equal(np.asarray(rec_full[k]), got), k
+
+
+def test_tracker_snapshot_roundtrip(tmp_path):
+    cents, valid, fids = _random_scene(f=6, c=4, seed=7)
+    st, rec = track_sequence(cents, valid, fids, max_objects=8, **_KW)
+    rec = jax.tree_util.tree_map(np.asarray, rec)
+    ckpt.save_tracker_snapshot(tmp_path, st, 6, rec)
+    loaded = ckpt.load_tracker_snapshot(tmp_path)
+    assert loaded is not None
+    st2, pos, rec2 = loaded
+    assert pos == 6
+    _assert_state_equal(st, st2)
+    for k in rec:
+        assert np.array_equal(rec[k], rec2[k]), k
+
+
+def test_load_snapshot_missing_returns_none(tmp_path):
+    assert ckpt.load_tracker_snapshot(tmp_path) is None
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: interrupted + resumed == uninterrupted, byte-identical CSVs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def moving_dataset(tmp_path: Path) -> Path:
+    """9-frame multi-gain dataset: one moving blob (boat) + one static blob
+    + sub-threshold noise, so tracking produces non-trivial trajectories."""
+    rng = np.random.default_rng(11)
+    base = tmp_path / "data"
+    num_echo = 64
+    for gain in (40, 50, 75):
+        gdir = base / f"gain_{gain}"
+        gdir.mkdir(parents=True)
+        for f in range(9):
+            sec = 10 + f * 3
+
+            def echo_fn(r, _rng=rng, _f=f):
+                e = _rng.integers(0, 8, num_echo)
+                if 10 <= r < 14:
+                    # moving blob: 1 col (~7.7 m at scale 496) per frame —
+                    # within eps_space=8 of the previous frame -> boat
+                    c0 = 14 + _f
+                    e[c0:c0 + 4] = 200
+                if 30 <= r < 33 and _f < 7:
+                    # static blob present in 7/9 frames: persistence
+                    # 0.78 < 0.8 keeps it out of the land mask -> buoy
+                    e[40:43] = 150
+                return e
+
+            make_radar_csv(
+                gdir / f"20250813_1426{sec:02d}_000.csv",
+                num_rows=48, num_echo=num_echo, gain=gain,
+                angle_step=170.0, echo_fn=echo_fn)
+    return base
+
+
+def _cfg() -> PipelineConfig:
+    cfg = PipelineConfig()
+    cfg.radar.num_echo_columns = 64
+    cfg.clustering.tile_size = 128
+    cfg.land_filter.min_frames_required = 2
+    return cfg
+
+
+def _run_kw():
+    return dict(min_samples=5, intensity_threshold=10.0, visualize=False,
+                verbose=False)
+
+
+def test_e2e_interrupt_resume_byte_identical(moving_dataset, tmp_path):
+    out_a = tmp_path / "uninterrupted"
+    res_a = run_tracking_pipeline(moving_dataset, out_a, config=_cfg(),
+                                  **_run_kw())
+    assert len(res_a.objects_rows()) >= 1  # non-trivial scene
+
+    out_b = tmp_path / "resumed"
+    ck = tmp_path / "ckpt"
+    with pytest.raises(ckpt.CheckpointInterrupt) as ei:
+        run_tracking_pipeline(moving_dataset, out_b, config=_cfg(),
+                              checkpoint_dir=ck, checkpoint_every=3,
+                              interrupt_after_frames=6, **_run_kw())
+    assert ei.value.frames_done == 6
+    assert (ck / ckpt.CLUSTER_STAGE_FILE).exists()
+    assert (ck / ckpt.TRACKER_STATE_FILE).exists()
+    # the interrupt fired before any artifact was written
+    assert not (out_b / "tracked_objects.csv").exists()
+
+    res_b = run_tracking_pipeline(moving_dataset, out_b, config=_cfg(),
+                                  checkpoint_dir=ck, checkpoint_every=3,
+                                  resume=True, **_run_kw())
+    # resume skipped ingest + clustering: only checkpoint-load + tracking ran
+    assert "st_dbscan" not in res_b.timings
+    assert "load_checkpoint" in res_b.timings
+    for name in CSV_NAMES:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name
+
+
+def test_resume_param_mismatch_raises(moving_dataset, tmp_path):
+    ck = tmp_path / "ckpt"
+    run_tracking_pipeline(moving_dataset, tmp_path / "o1", config=_cfg(),
+                          checkpoint_dir=ck, **_run_kw())
+    with pytest.raises(ValueError, match="eps_space"):
+        run_tracking_pipeline(moving_dataset, tmp_path / "o2", config=_cfg(),
+                              checkpoint_dir=ck, resume=True, eps_space=9.5,
+                              **_run_kw())
+
+
+def test_resume_without_checkpoint_dir_raises(moving_dataset, tmp_path):
+    with pytest.raises(ValueError, match="checkpoint-dir"):
+        run_tracking_pipeline(moving_dataset, tmp_path / "o", config=_cfg(),
+                              resume=True, **_run_kw())
+
+
+def test_resume_after_completion_reproduces(moving_dataset, tmp_path):
+    """Resuming a checkpoint whose tracking already finished re-emits the
+    same artifacts without re-clustering."""
+    out_a = tmp_path / "first"
+    ck = tmp_path / "ckpt"
+    run_tracking_pipeline(moving_dataset, out_a, config=_cfg(),
+                          checkpoint_dir=ck, checkpoint_every=4, **_run_kw())
+    out_b = tmp_path / "again"
+    run_tracking_pipeline(moving_dataset, out_b, config=_cfg(),
+                          checkpoint_dir=ck, resume=True, **_run_kw())
+    for name in CSV_NAMES:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name
+
+
+def test_checkpointed_run_matches_plain(moving_dataset, tmp_path):
+    """Checkpointing on (chunked tracking scan) must not change artifacts."""
+    out_a = tmp_path / "plain"
+    run_tracking_pipeline(moving_dataset, out_a, config=_cfg(), **_run_kw())
+    out_b = tmp_path / "chunked"
+    run_tracking_pipeline(moving_dataset, out_b, config=_cfg(),
+                          checkpoint_dir=tmp_path / "ck", checkpoint_every=2,
+                          **_run_kw())
+    for name in CSV_NAMES:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name
+
+
+def test_track_cli_checkpoint_resume(moving_dataset, tmp_path):
+    """CLI wiring: track --checkpoint-dir + hidden --interrupt-after-frames,
+    then track --resume, byte-identical to a plain CLI run."""
+    from click.testing import CliRunner
+
+    from radar_point_cloud_tracking_tpu.cli.main import cli
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        "radar:\n  num_echo_columns: 64\n"
+        "clustering:\n  tile_size: 128\n"
+        "land_filter:\n  min_frames_required: 2\n")
+    runner = CliRunner()
+    base = ["-c", str(cfg_path), "track", "--data-dir", str(moving_dataset),
+            "--min-samples", "5", "--intensity-threshold", "10", "--no-viz"]
+    out_a = tmp_path / "plain"
+    r = runner.invoke(cli, base + ["--output-dir", str(out_a)])
+    assert r.exit_code == 0, r.output
+
+    out_b = tmp_path / "ckpt_run"
+    ck = tmp_path / "ck"
+    r = runner.invoke(cli, base + [
+        "--output-dir", str(out_b), "--checkpoint-dir", str(ck),
+        "--checkpoint-every", "3", "--interrupt-after-frames", "6"])
+    assert r.exit_code != 0  # simulated preemption
+    assert isinstance(r.exception, ckpt.CheckpointInterrupt)
+
+    r = runner.invoke(cli, base + [
+        "--output-dir", str(out_b), "--checkpoint-dir", str(ck), "--resume"])
+    assert r.exit_code == 0, r.output
+    for name in CSV_NAMES:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name

@@ -432,3 +432,41 @@ def test_full_cluster_program_on_pairs_only_index():
                                 use_pallas=True)
         assert int(kw) == int(kg)
         assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_fallback_sweeps_raise_clearly_on_pairs_only_index():
+    """The XLA fallback sweeps need the directed candidate table; on a
+    pairs-only index they must fail with an actionable ValueError, not an
+    AttributeError on a None field."""
+    from radar_point_cloud_tracking_tpu.ops.neighbors import (
+        neighbor_min_sweep_gated,
+    )
+
+    coords, times, valid = _scene(31, n=300)
+    slim = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                               jnp.asarray(valid), 7.0, 2.0, tile=64,
+                               pairs=True, directed=False)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    with pytest.raises(ValueError, match="pairs-only"):
+        neighbor_core_stats(slim, es, et)
+    with pytest.raises(ValueError, match="pairs-only"):
+        neighbor_min_sweep(slim, jnp.zeros_like(slim.times, jnp.int32),
+                           es, et)
+    nt, t = slim.coords.shape[:2]
+    with pytest.raises(ValueError, match="pairs-only"):
+        neighbor_min_sweep_gated(
+            slim, jnp.zeros((nt, t), jnp.int32), es, et,
+            jnp.full((nt, t), INT_MAX, jnp.int32), jnp.ones((nt,), bool))
+
+
+def test_build_spatial_index_tile_count_guard():
+    """Past MAX_NUM_TILES the build must fail fast with the remedy (raise
+    tile_size), not fall into an opaque (nt, nt) allocation failure."""
+    from radar_point_cloud_tracking_tpu.ops.neighbors import MAX_NUM_TILES
+
+    n = MAX_NUM_TILES + 1
+    coords = jnp.zeros((n, 2), jnp.float32)
+    times = jnp.zeros((n,), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    with pytest.raises(ValueError, match="tile_size"):
+        build_spatial_index(coords, times, valid, 7.0, 2.0, tile=1)
