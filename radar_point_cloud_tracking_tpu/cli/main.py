@@ -246,13 +246,17 @@ def cluster(ctx, ply_file: Path, output_dir: Optional[Path],
 @click.option("--interrupt-after-frames", type=int, default=0, hidden=True,
               help="Testing/ops hook: simulate preemption after this many "
                    "tracked frames (right after the covering snapshot).")
+@click.option("--parse-workers", type=int, default=None,
+              help="Host CSV parse thread count (0 = auto from CPU count; "
+                   "1 = sequential).")
 @click.pass_context
 def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
           no_land_filter: bool, no_viz: bool, eps_space: float,
           eps_time: float, min_samples: int,
           intensity_threshold: float, devices: int,
           checkpoint_dir: Optional[Path], checkpoint_every: int,
-          resume: bool, interrupt_after_frames: int) -> None:
+          resume: bool, interrupt_after_frames: int,
+          parse_workers: Optional[int]) -> None:
     """Run the temporal object tracking pipeline."""
     from ..models.tracker import run_tracking_pipeline
     from ..utils.logging import CommandTimer, print_summary
@@ -268,7 +272,8 @@ def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
         eps_space=eps_space, eps_time=eps_time, min_samples=min_samples,
         intensity_threshold=intensity_threshold, config=cfg,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        resume=resume, interrupt_after_frames=interrupt_after_frames)
+        resume=resume, interrupt_after_frames=interrupt_after_frames,
+        parse_workers=parse_workers)
     rows = {
         "Frames": str(result.ingested.num_frames),
         "Points": f"{result.n_points:,}",
@@ -295,11 +300,20 @@ def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
 @click.option("--devices", type=int, default=0,
               help="Shard the clustering over this many devices of a "
                    "frame-axis mesh (0/1 = single chip).")
+@click.option("--low-memory", is_flag=True,
+              help="Free the padded device ingest buffers after repack "
+                   "(host RAM is bounded by the streaming parse window "
+                   "either way — the TPU equivalent of the reference "
+                   "denoiser's free-and-reload --low-memory).")
+@click.option("--parse-workers", type=int, default=None,
+              help="Host CSV parse thread count (0 = auto from CPU count; "
+                   "1 = sequential, the reference's --no-parallel).")
 @click.pass_context
 def denoise(ctx, data_dir: Path, output_dir: Path, eps_space: float,
             eps_time: float, min_samples: int, min_frames: int,
             max_frames: int, no_viz: bool, skip_gif: bool,
-            devices: int) -> None:
+            devices: int, low_memory: bool,
+            parse_workers: Optional[int]) -> None:
     """Run the ST-DBSCAN denoising pipeline."""
     from ..models.denoiser import run_denoising_pipeline
 
@@ -307,7 +321,8 @@ def denoise(ctx, data_dir: Path, output_dir: Path, eps_space: float,
         data_dir, output_dir, eps_space=eps_space, eps_time=eps_time,
         min_samples=min_samples, min_frames=min_frames,
         max_frames=max_frames, no_viz=no_viz, skip_gif=skip_gif,
-        config=_load_config(ctx), devices=devices)
+        config=_load_config(ctx), devices=devices, low_memory=low_memory,
+        parse_workers=parse_workers)
 
 
 @cli.command("fuse")

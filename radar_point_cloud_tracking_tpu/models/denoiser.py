@@ -21,13 +21,12 @@ from ..config import PipelineConfig
 from ..core.writers import write_ply_arrays
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.colors import label_palette_tab20
-from ..ops.geometry import compact_masked
 from ..ops.stdbscan import st_dbscan_device
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
 from ..utils.transfer import pull_labels, pull_prefix
 from .ingest import FrameBatchLoader, IngestedFrames
-from .tracker import _quarter_pow2
+from .tracker import _flatten_and_compact, _quarter_pow2
 
 __all__ = ["DenoiseResult", "denoise_frames",
            "denoise_frames_sharded", "run_denoising_pipeline"]
@@ -109,26 +108,40 @@ def denoise_frames(
     min_frames: int,
     config: Optional[PipelineConfig] = None,
     verbose: bool = True,
+    low_memory: bool = False,
 ) -> DenoiseResult:
-    """Cluster an ingested sequence with temporal-persistence denoising."""
+    """Cluster an ingested sequence with temporal-persistence denoising.
+
+    ``low_memory`` releases the padded per-frame ingest buffers (xyi/gain)
+    on device right after the tight repack, so they don't ride HBM through
+    the clustering program — the caller's ``ingested`` must not be reused
+    afterwards.  Host RAM needs no equivalent flag: the streaming parse
+    window already bounds it (models/ingest.py _parsed_stream), which is
+    this design's analog of the reference denoiser's --low-memory
+    free-and-reload (stdbscan_denoising_pipeline.py:1156-1159)."""
     cfg = config or PipelineConfig()
     timer = StageTimer(verbose=verbose)
     f, c = ingested.num_frames, ingested.capacity
 
     with timer.stage("repack"):
-        valid = ingested.valid_mask()
-        local = jnp.broadcast_to(
-            jnp.arange(f, dtype=jnp.float32)[:, None], (f, c))
-        fid = jnp.broadcast_to(
-            jnp.asarray(ingested.frame_ids, jnp.float32)[:, None], (f, c))
-        vals = jnp.concatenate([
-            ingested.xyi, local[..., None], fid[..., None],
-            ingested.gain.astype(jnp.float32)[..., None],
-        ], axis=-1).reshape(f * c, 6)
-        total = int(jnp.sum(ingested.count))
+        # per-frame valid sets are prefixes (slot < count), so the tracker's
+        # searchsorted prefix-gather assembles the tight buffer without the
+        # (f*c, 6) concat + boolean argsort this path used to allocate
+        total = (int(ingested.count_host.sum())
+                 if ingested.count_host is not None
+                 else int(jnp.sum(ingested.count)))
         capacity = _quarter_pow2(total)
-        points, n_points = compact_masked(vals, valid.reshape(f * c), capacity)
-        n_points = int(n_points)
+        points, n_dev = _flatten_and_compact(
+            ingested.xyi, ingested.gain, ingested.count,
+            jnp.asarray(ingested.frame_ids),
+            ingested.valid_mask().reshape(f * c), capacity)
+        n_points = int(n_dev)
+        if low_memory:
+            for buf in (ingested.xyi, ingested.gain):
+                try:
+                    buf.delete()
+                except Exception:  # non-jax leaves (e.g. numpy in tests)
+                    pass
 
     with timer.stage("st_dbscan"):
         pvalid = jnp.arange(capacity) < n_points
@@ -294,11 +307,21 @@ def run_denoising_pipeline(
     config: Optional[PipelineConfig] = None,
     verbose: bool = True,
     devices: int = 0,
+    low_memory: bool = False,
+    parse_workers: Optional[int] = None,
 ) -> DenoiseResult:
     """Full denoising pipeline from a gain_XX tree to artifacts.
 
     ``devices`` > 1 shards the clustering over a frame-axis device mesh
-    (:func:`denoise_frames_sharded`); 0/1 runs the single-chip engine."""
+    (:func:`denoise_frames_sharded`); 0/1 runs the single-chip engine.
+
+    ``low_memory``/``parse_workers`` are the reference denoiser's
+    --low-memory/--no-parallel parity controls
+    (stdbscan_denoising_pipeline.py:1156-1159): host RAM is bounded by the
+    streaming parse window either way (the TPU-design equivalence of the
+    reference's free-and-reload), low_memory additionally frees the padded
+    device ingest buffers after repack, and parse_workers=1 disables the
+    parse thread pool (the ProcessPoolExecutor analog)."""
     cfg = config or PipelineConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -326,7 +349,8 @@ def run_denoising_pipeline(
 
     log("\n[3/5] Converting radar data to point clouds (device)...")
     loader = FrameBatchLoader(cfg, intensity_threshold=intensity_threshold,
-                              point_stride=point_stride, verbose=verbose)
+                              point_stride=point_stride, verbose=verbose,
+                              parse_workers=parse_workers)
     ingested = loader.load_sequence(frames)
     log(f"  Total points: {int(jnp.sum(ingested.count)):,}")
 
@@ -339,7 +363,8 @@ def run_denoising_pipeline(
             n_devices=devices, verbose=verbose)
     else:
         result = denoise_frames(ingested, eps_space, eps_time, min_samples,
-                                min_frames, cfg, verbose=verbose)
+                                min_frames, cfg, verbose=verbose,
+                                low_memory=low_memory)
     st = result.stats
     log(f"    Total points:      {st['total_points']:,}")
     log(f"    Noise (removed):   {st['noise_points']:,} "

@@ -1026,6 +1026,7 @@ def run_tracking_pipeline(
     checkpoint_every: int = 0,
     resume: bool = False,
     interrupt_after_frames: int = 0,
+    parse_workers: Optional[int] = None,
 ) -> TrackingResult:
     """Full tracker pipeline from a gain_XX directory tree to artifacts.
 
@@ -1082,7 +1083,8 @@ def run_tracking_pipeline(
     pipe._log("\n[3/6] Building point cloud frames (device conversion)...")
     loader = FrameBatchLoader(
         config, intensity_threshold=intensity_threshold,
-        point_stride=point_stride, verbose=verbose)
+        point_stride=point_stride, verbose=verbose,
+        parse_workers=parse_workers)
     pipe._log("\n[4/6] Land filtering...")
     pipe._log("\n[5/6] + [6/6] Clustering and tracking...")
     result = pipe.ingest_and_run(

@@ -150,17 +150,24 @@ def greedy_track_clusters(points: np.ndarray, labels: np.ndarray,
             cm = fl == cid
             centroids[int(cid)] = (fx[cm].mean(), fy[cm].mean())
 
-        used = set()
-        new_prev = {}
+        # two passes, like the reference: EVERY cluster first picks its
+        # nearest previous centroid (ties to a contested id are allowed),
+        # then assignment walks in cluster order — the first claimant keeps
+        # the id and later claimants get NEW ids, not their second choice
+        # (stdbscan_denoising_pipeline.py:538-566)
+        matches = []
         for cid, (cx, cy) in centroids.items():
             best, best_d = None, max_dist
             for gid, (px, py) in prev.items():
-                if gid in used:
-                    continue
                 d = np.hypot(cx - px, cy - py)
                 if d < best_d:
                     best, best_d = gid, d
-            if best is None:
+            matches.append((cid, best, cx, cy))
+
+        used = set()
+        new_prev = {}
+        for cid, best, cx, cy in matches:
+            if best is None or best in used:
                 best = next_gid
                 next_gid += 1
             used.add(best)

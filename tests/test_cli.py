@@ -171,6 +171,20 @@ def test_denoise_cli_end_to_end(runner, gain_dataset, tmp_path, cli_config):
     assert (out / "denoising_stats.csv").exists()
 
 
+def test_denoise_cli_with_gif(runner, gain_dataset, tmp_path, cli_config):
+    """Full denoise e2e with visualizations AND the comparison GIF (the one
+    e2e that exercises the GIF path; the others pass --skip-gif)."""
+    out = tmp_path / "denoise_gif_out"
+    result = runner.invoke(cli, [
+        "-c", str(cli_config), "denoise", "--data-dir", str(gain_dataset),
+        "--output-dir", str(out), "--min-samples", "5", "--min-frames", "2"])
+    assert result.exit_code == 0, result.output
+    assert (out / "denoising_stats.csv").exists()
+    gif = out / "stdbscan_comparison.gif"
+    assert gif.exists() and gif.stat().st_size > 0
+    assert not (out / "_temp_frames").exists()
+
+
 def test_fuse_cli_end_to_end(runner, gain_dataset, tmp_path, cli_config):
     out = tmp_path / "fuse_out"
     result = runner.invoke(cli, [

@@ -106,3 +106,45 @@ def test_denoise_result_repr_skips_device_buffers(denoise_result):
     # the bulk d2h the lazy properties exist to avoid)
     r = repr(denoise_result)
     assert "points_dev" not in r and "labels_dev" not in r
+
+
+def test_denoise_low_memory_bitequal(gain_dataset, denoise_result):
+    """low_memory=True (free padded ingest buffers post-repack) must not
+    change a single output bit; the ingest buffers really are released."""
+    cfg = PipelineConfig()
+    cfg.radar.num_echo_columns = 64
+    loader = FrameBatchLoader(cfg, intensity_threshold=THRESHOLD,
+                              point_stride=STRIDE, verbose=False,
+                              frame_capacity=4096)
+    files_by_gain = rpt.discover_files(gain_dataset)
+    ingested = loader.load_sequence(rpt.group_files_by_frame(files_by_gain))
+    lm = denoise_frames(ingested, EPS_SPACE, EPS_TIME, MIN_SAMPLES,
+                        MIN_FRAMES, cfg, verbose=False, low_memory=True)
+    np.testing.assert_array_equal(lm.labels, denoise_result.labels)
+    np.testing.assert_array_equal(lm.points, denoise_result.points)
+    assert lm.stats == denoise_result.stats
+    assert ingested.xyi.is_deleted()
+
+
+def test_denoise_cli_low_memory_parse_workers(gain_dataset, tmp_path):
+    """CLI parity flags (--low-memory / --parse-workers) drive a full run
+    whose stats match the default run."""
+    from click.testing import CliRunner
+
+    from radar_point_cloud_tracking_tpu.cli.main import cli
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text("radar:\n  num_echo_columns: 64\n")
+    runner = CliRunner()
+    outs = {}
+    for name, extra in (("default", []),
+                        ("lowmem", ["--low-memory", "--parse-workers", "2"])):
+        out = tmp_path / name
+        r = runner.invoke(cli, [
+            "-c", str(cfg_path), "denoise", "--data-dir", str(gain_dataset),
+            "--output-dir", str(out), "--min-samples", str(MIN_SAMPLES),
+            "--min-frames", str(MIN_FRAMES), "--no-viz", "--skip-gif",
+        ] + extra)
+        assert r.exit_code == 0, r.output
+        outs[name] = (out / "denoising_stats.csv").read_bytes()
+    assert outs["default"] == outs["lowmem"]
