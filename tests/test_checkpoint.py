@@ -233,6 +233,22 @@ def test_checkpointed_run_matches_plain(moving_dataset, tmp_path):
             name
 
 
+def test_resume_with_visualization(moving_dataset, tmp_path):
+    """A resumed run can render the tracking plots (the _ResumedSequence
+    shim must satisfy everything the viz path reads)."""
+    pytest.importorskip("matplotlib")
+    ck = tmp_path / "ckpt"
+    run_tracking_pipeline(moving_dataset, tmp_path / "o1", config=_cfg(),
+                          checkpoint_dir=ck, **_run_kw())
+    out = tmp_path / "o2"
+    kw = _run_kw()
+    kw["visualize"] = True
+    run_tracking_pipeline(moving_dataset, out, config=_cfg(),
+                          checkpoint_dir=ck, resume=True, **kw)
+    viz = out / "visualizations"
+    assert viz.exists() and list(viz.glob("*.png"))
+
+
 def test_track_cli_checkpoint_resume(moving_dataset, tmp_path):
     """CLI wiring: track --checkpoint-dir + hidden --interrupt-after-frames,
     then track --resume, byte-identical to a plain CLI run."""
