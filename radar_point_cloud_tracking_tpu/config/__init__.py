@@ -79,7 +79,13 @@ class ClusteringConfig(BaseModel):
     min_frames: int = 1  # >=2 enables temporal-persistence core test
     max_points: int = 10_000_000
     # device engine tuning
-    tile_size: int = 512  # points per tile in the neighbor engine
+    # points per tile in the neighbor engine.  1024 won the round-4 chip
+    # A/B at every measured scale (tracker 385k/1.55M pts, denoise
+    # 2.4M/4.7M/9.5M pts: -1.8% to -14.7% cluster program, labels
+    # bit-equal; .chip_logs/tile_sweep_r4.log, tile_tracker_r4.log) —
+    # halving the tile-pair count outweighs the larger (T, T) predicate
+    # block.  512 remains a supported knob.
+    tile_size: int = 1024
     cell_size: Optional[float] = None  # spatial hash cell; default = eps_space
     max_label_sweeps: int = 64  # safety bound on label-propagation rounds
 
