@@ -7,6 +7,7 @@ sweep.  Also standalone costs of one jump pass and one hook scatter at
 this scale.
 
 Usage: python tools/profile_denoise_cluster.py [use_pallas: 0/1, default 1]
+                                               [tile=N (default: config)]
 """
 import sys
 import time
@@ -32,21 +33,28 @@ def t(fn, reps=2):
 
 
 def main():
-    use_pallas = bool(int(sys.argv[1])) if len(sys.argv) > 1 else True
+    use_pallas, tile = True, None
+    for a in sys.argv[1:]:
+        if a.startswith("tile="):
+            tile = int(a.split("=", 1)[1])
+        else:
+            use_pallas = bool(int(a))
     from tools._scene import load_bench_scene_denoise
     from radar_point_cloud_tracking_tpu.ops.neighbors import (
         INT_MAX, build_spatial_index)
     from radar_point_cloud_tracking_tpu.ops import stdbscan as sd
 
     points, n, cap, cfg = load_bench_scene_denoise(100)
+    if tile is None:
+        tile = cfg.clustering.tile_size
     print(f"denoise scene: {n:,} points, capacity {cap:,} "
-          f"use_pallas={use_pallas}")
+          f"use_pallas={use_pallas} tile={tile}")
     es, et = jnp.float32(8.0), jnp.float32(2.0)
     valid = jnp.arange(cap) < jnp.int32(n)
     min_samples, min_frames, n_offsets = 15, 2, 2
 
     tb, index = t(lambda: build_spatial_index(
-        points[:, :2], points[:, 3], valid, 8.0, 2.0, tile=512,
+        points[:, :2], points[:, 3], valid, 8.0, 2.0, tile=tile,
         pairs=use_pallas))
     print(f"index build (pairs={use_pallas}):    {tb*1e3:7.0f} ms")
 
@@ -98,6 +106,19 @@ def main():
         index, comp_key, es, et, query_limit=perm2d, bypass_limit=is_root,
         use_limit=True))
     print(f"border sweep (if_earlier):    {tb2*1e3:7.0f} ms")
+
+    # border-gated sweep feasibility: the border sweep only needs OUTPUT at
+    # valid non-core points, so pairs touching no non-core tile could skip
+    noncore_tile = jnp.any(index.valid & ~core, axis=1)
+    n_noncore_tiles = int(jnp.sum(noncore_tile))
+    pa = index.pair_a if index.pair_a is not None else None
+    if pa is not None:
+        pc = int(index.pair_count)
+        live_a, live_b = index.pair_a[:pc], index.pair_b[:pc]
+        needed = noncore_tile[live_a] | noncore_tile[live_b]
+        print(f"border-gate: {int(jnp.sum(index.valid & ~core)):,} non-core "
+              f"pts in {n_noncore_tiles}/{index.num_tiles} tiles; pairs "
+              f"touching one: {int(jnp.sum(needed)):,}/{pc:,}")
 
     # standalone primitive costs at this scale
     flat = label.reshape(-1)
