@@ -28,7 +28,7 @@ from .neighbors import INT_MAX, SpatialIndex
 
 __all__ = ["min_sweep_pallas", "core_stats_pallas", "min_sweep_pallas_dma",
            "core_stats_pallas_dma", "core_stats_pallas_sym",
-           "min_sweep_pallas_sym"]
+           "min_sweep_pallas_sym", "min_sweep_pallas_sym_scoped"]
 
 
 def _interpret() -> bool:
@@ -902,6 +902,34 @@ def min_sweep_pallas_sym_gated(
                            cap=sym_pair_chunk_cap(),
                            pairs_override=(pa2, pb2, n_act))
     return jnp.minimum(acc, fresh)
+
+
+def min_sweep_pallas_sym_scoped(
+    index: SpatialIndex,
+    payload: jnp.ndarray,
+    eps_space: jnp.ndarray,
+    eps_time: jnp.ndarray,
+    tile_mask: jnp.ndarray,  # (Ntiles,) bool — tiles whose output is read
+    query_limit: Optional[jnp.ndarray] = None,
+    bypass_limit: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Thresholded symmetric min sweep restricted to pairs touching a tile
+    in ``tile_mask``.  A pair contributes output only to its two tiles, so
+    dropping pairs between two unmasked tiles is EXACT at every point in a
+    masked tile; output elsewhere is garbage-masked to INT_MAX only for
+    all-invalid tiles and must not be read.  Used by the border-gated
+    ``if_earlier`` sweep (stdbscan.cluster_index), which reads border keys
+    only at valid non-core points — at denoise scale those concentrate in
+    ~11% of tiles / 13% of pairs (ROUND4.md), shrinking the full-table
+    border sweep ~8x."""
+    from .neighbors import sym_pair_chunk_cap
+
+    pairs_scoped = _compact_active_pairs(index, tile_mask)
+    return _min_sweep_sym(index, payload, eps_space, eps_time,
+                          query_limit=query_limit,
+                          bypass_limit=bypass_limit, use_limit=True,
+                          cap=sym_pair_chunk_cap(),
+                          pairs_override=pairs_scoped)
 
 
 @functools.partial(jax.jit, static_argnames=("use_limit", "cap"))

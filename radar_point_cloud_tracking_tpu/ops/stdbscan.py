@@ -601,11 +601,22 @@ def cluster_index(
         # (key < b's original index) OR b directly neighbors the cluster's
         # root core (initial seeds are enqueued unconditionally in the
         # reference BFS, stdbscan_denoising_pipeline.py:343-344)
-        sweep = _min_sweep_impl(use_pallas)
         is_root = core & (comp_key == perm2d)
-        border_key = sweep(index, comp_key, eps_space, eps_time,
-                           query_limit=perm2d,
-                           bypass_limit=is_root, use_limit=True)
+        if use_pallas and index.pair_a is not None:
+            # border-gated: _assemble_labels reads border_key only at valid
+            # NON-CORE points, so pairs between two all-core tiles are dead
+            # — scope the sweep to pairs touching a non-core tile (exact)
+            from .pallas_neighbors import min_sweep_pallas_sym_scoped
+
+            noncore_tile = jnp.any(index.valid & ~core, axis=1)
+            border_key = min_sweep_pallas_sym_scoped(
+                index, comp_key, eps_space, eps_time, noncore_tile,
+                query_limit=perm2d, bypass_limit=is_root)
+        else:
+            sweep = _min_sweep_impl(use_pallas)
+            border_key = sweep(index, comp_key, eps_space, eps_time,
+                               query_limit=perm2d,
+                               bypass_limit=is_root, use_limit=True)
     else:
         border_key = last_nbr_min
     labels = _assemble_labels(index, core, comp_key, border_key, rank_lookup)

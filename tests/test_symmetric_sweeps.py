@@ -470,3 +470,74 @@ def test_build_spatial_index_tile_count_guard():
     valid = jnp.ones((n,), bool)
     with pytest.raises(ValueError, match="tile_size"):
         build_spatial_index(coords, times, valid, 7.0, 2.0, tile=1)
+
+
+def _clustered_scene(seed, n_blobs=12, per_blob=120, n_border=30):
+    """Dense well-separated blobs (all-core interiors spanning many tiles)
+    plus a few stragglers near blob edges (the only non-core points) —
+    makes the border-gated if_earlier sweep actually drop pairs."""
+    rng = np.random.default_rng(seed)
+    pts, ts = [], []
+    for i in range(n_blobs):
+        c = np.array([(i % 4) * 400.0, (i // 4) * 400.0])
+        pts.append(rng.normal(c, 2.0, (per_blob, 2)))
+        ts.append(rng.integers(0, 4, per_blob))
+    # stragglers: just outside a blob's dense core (border or noise)
+    for i in range(n_border):
+        c = np.array([(i % 4) * 400.0, (i // 4 % 3) * 400.0])
+        pts.append((c + rng.uniform(5.0, 9.0, (1, 2))))
+        ts.append(rng.integers(0, 4, 1))
+    coords = np.concatenate(pts).astype(np.float32)
+    times = np.concatenate(ts).astype(np.float32)
+    valid = np.ones((coords.shape[0],), bool)
+    return coords, times, valid
+
+
+def test_border_gated_if_earlier_matches_plain_xla():
+    """cluster_index(use_pallas=True, if_earlier) scopes the border sweep
+    to pairs touching a non-core tile; on a scene where most tiles are
+    all-core the scoped list is a strict subset and labels must still
+    bit-match the (ungated, full-sweep) XLA engine."""
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import (
+        cluster_index, compute_core_mask)
+
+    coords, times, valid = _clustered_scene(41)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0)
+    full = build_spatial_index(*args, tile=64)
+    slim = build_spatial_index(*args, tile=64, pairs=True, directed=False)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    # precondition: the gate has something to drop — some tile is all-core
+    core = compute_core_mask(full, 7.0, 2.0, 8, min_frames=2)
+    noncore_tile = np.asarray(jnp.any(full.valid & ~core, axis=1))
+    assert (~noncore_tile).sum() > 0, "scene has no all-core tile"
+    want, kw = cluster_index(full, es, et, 8, 2, 2, "if_earlier", 256,
+                             use_pallas=False)
+    got, kg = cluster_index(slim, es, et, 8, 2, 2, "if_earlier", 256,
+                            use_pallas=True)
+    assert int(kw) == int(kg)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_border_gated_sweep_empty_scope():
+    """Zero non-core valid points -> the scoped pair list is empty; the
+    sweep's output is never read (no border points) and the program must
+    still converge to the XLA engine's labels."""
+    from radar_point_cloud_tracking_tpu.ops.stdbscan import cluster_index
+
+    # one dense blob, min_samples low: every valid point is core
+    rng = np.random.default_rng(43)
+    coords = rng.normal(0.0, 2.0, (300, 2)).astype(np.float32)
+    times = rng.integers(0, 3, 300).astype(np.float32)
+    valid = np.ones((300,), bool)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0)
+    full = build_spatial_index(*args, tile=64)
+    slim = build_spatial_index(*args, tile=64, pairs=True, directed=False)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    want, kw = cluster_index(full, es, et, 4, 1, 0, "if_earlier", 256,
+                             use_pallas=False)
+    got, kg = cluster_index(slim, es, et, 4, 1, 0, "if_earlier", 256,
+                            use_pallas=True)
+    assert int(kw) == int(kg)
+    assert np.array_equal(np.asarray(want), np.asarray(got))

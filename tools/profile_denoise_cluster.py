@@ -119,6 +119,16 @@ def main():
         print(f"border-gate: {int(jnp.sum(index.valid & ~core)):,} non-core "
               f"pts in {n_noncore_tiles}/{index.num_tiles} tiles; pairs "
               f"touching one: {int(jnp.sum(needed)):,}/{pc:,}")
+        from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+            min_sweep_pallas_sym_scoped)
+        tg, border_gated = t(lambda: min_sweep_pallas_sym_scoped(
+            index, comp_key, es, et, noncore_tile, query_limit=perm2d,
+            bypass_limit=is_root))
+        nc_pts = index.valid & ~core
+        eq = bool(jnp.all(jnp.where(nc_pts, border_gated == border_key,
+                                    True)))
+        print(f"border sweep (GATED):         {tg*1e3:7.0f} ms "
+              f"(equal at non-core pts: {eq})")
 
     # standalone primitive costs at this scale
     flat = label.reshape(-1)
@@ -136,8 +146,9 @@ def main():
     tp, (lbl, k) = t(lambda: sd.cluster_index(
         index, es, et, min_samples, min_frames, n_offsets, "if_earlier",
         256, use_pallas=use_pallas), reps=1)
+    noise = int(jnp.sum(lbl[:n] == -1))
     print(f"whole cluster_index:          {tp*1e3:7.0f} ms "
-          f"({int(k)} clusters)")
+          f"({int(k)} clusters, {noise:,} noise pts)")
 
 
 if __name__ == "__main__":
