@@ -758,6 +758,15 @@ def main():
 
 
 if __name__ == "__main__":
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        # modes ride on env vars, not flags — without this guard a stray
+        # `bench.py --help` silently runs the FULL tracker bench and holds
+        # the single-client TPU tunnel for ~20 minutes
+        print("usage: [BENCH_DENOISE=1 | BENCH_ENVELOPE=1] python bench.py\n"
+              "  (no flags; modes and knobs are env vars: BENCH_FRAMES, "
+              "BENCH_CPU_FRAMES,\n   BENCH_CPU_REPEATS, BENCH_TPU_REPEATS "
+              "— see module docstring)")
+        sys.exit(0)
     if os.environ.get("BENCH_ENVELOPE"):
         run_envelope()
     elif os.environ.get("BENCH_DENOISE"):
