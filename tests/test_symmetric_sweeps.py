@@ -541,3 +541,36 @@ def test_border_gated_sweep_empty_scope():
                             use_pallas=True)
     assert int(kw) == int(kg)
     assert np.array_equal(np.asarray(want), np.asarray(got))
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_scoped_sweep_exact_at_masked_tiles(seed):
+    """min_sweep_pallas_sym_scoped: for ANY tile mask, output at points in
+    masked tiles must equal the full thresholded sweep (pairs between two
+    unmasked tiles contribute only to unmasked tiles)."""
+    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
+        min_sweep_pallas_sym, min_sweep_pallas_sym_scoped)
+
+    coords, times, valid = _scene(seed, n=800)
+    es, et = jnp.float32(7.0), jnp.float32(2.0)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 7.0, 2.0, tile=64,
+                              pairs=True)
+    rng = np.random.default_rng(seed + 60)
+    shape = idx.valid.shape
+    pay_np = rng.integers(0, 500, shape).astype(np.int32)
+    pay_np[~np.asarray(idx.valid)] = INT_MAX
+    payload = jnp.asarray(pay_np)
+    qlim = jnp.asarray(rng.integers(0, 500, shape).astype(np.int32))
+    byp = jnp.asarray(rng.random(shape) < 0.15)
+    full = min_sweep_pallas_sym(idx, payload, es, et, query_limit=qlim,
+                                bypass_limit=byp, use_limit=True)
+    nt = idx.num_tiles
+    for frac in (0.0, 0.3, 1.0):
+        mask_np = rng.random(nt) < frac
+        scoped = min_sweep_pallas_sym_scoped(
+            idx, payload, es, et, jnp.asarray(mask_np),
+            query_limit=qlim, bypass_limit=byp)
+        sel = np.asarray(idx.valid) & mask_np[:, None]
+        assert np.array_equal(np.asarray(scoped)[sel],
+                              np.asarray(full)[sel]), f"frac={frac}"
