@@ -632,7 +632,7 @@ def _make_sym_stats_kernel(p_pad: int, has_z: bool = False):
 
 
 def _make_sym_min_kernel(p_pad: int, use_limit: bool = False,
-                         has_z: bool = False, local_iters: int = 0):
+                         has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
                eps_ref, acc_ref, partial_ref,
                fbuf, sems):
@@ -696,34 +696,8 @@ def _make_sym_min_kernel(p_pad: int, use_limit: bool = False,
                                   | (byp_a[:, None] > 0))
             else:
                 mask_ab = mask_ba = mask
-            if local_iters and not use_limit:
-                # In-block relay iterations: fold the block's minima back
-                # through its CORE lanes (payload < INT_MAX) before
-                # emitting, collapsing label chains that lie inside this
-                # tile pair while the predicate mask is already in VMEM.
-                # Non-core lanes never relay, so propagation stays
-                # core-to-core; every relayed value is still some core
-                # label of the same component, so the monotone fixpoint —
-                # and the gated accumulator contract (unchanged tiles =>
-                # unchanged block output) — is preserved.  Loop order is
-                # b-then-a so the final a-side fold reads fully-relayed
-                # pay_b and doubles as the row emission.
-                core_a = pay_a < INT_MAX
-                core_b = pay_b < INT_MAX
-                fold_a = None
-                for _ in range(local_iters):
-                    fold_b = jnp.min(
-                        jnp.where(mask, pay_a[:, None], INT_MAX), axis=0)
-                    pay_b = jnp.where(core_b, jnp.minimum(pay_b, fold_b),
-                                      INT_MAX)
-                    fold_a = jnp.min(
-                        jnp.where(mask, pay_b[None, :], INT_MAX), axis=1)
-                    pay_a = jnp.where(core_a, jnp.minimum(pay_a, fold_a),
-                                      INT_MAX)
-                row_min = fold_a
-            else:
-                row_min = jnp.min(
-                    jnp.where(mask_ab, pay_b[None, :], INT_MAX), axis=1)
+            row_min = jnp.min(jnp.where(mask_ab, pay_b[None, :], INT_MAX),
+                              axis=1)
             acc_ref[0, 0] = jnp.minimum(acc_ref[0, 0], row_min)
             # min is idempotent, so the diagonal's column emission is
             # harmless (same values the row side already folded)
@@ -893,23 +867,18 @@ def min_sweep_pallas_sym(
     query_limit: Optional[jnp.ndarray] = None,
     bypass_limit: Optional[jnp.ndarray] = None,
     use_limit: bool = False,
-    local_iters: int = 0,
 ) -> jnp.ndarray:
     """Symmetric-pair min sweep (2D coords): the Pallas twin of
     neighbors.neighbor_min_sweep over the unordered pair list, including
     the thresholded (``use_limit``) border-attachment variant — the limit
     test is evaluated in both directions from each pair block.  Lists
-    wider than the SMEM prefetch budget dispatch in chunks.
-    ``local_iters`` adds in-block relay iterations (propagation sweeps
-    only — ignored with ``use_limit``, whose per-query threshold must not
-    relay)."""
+    wider than the SMEM prefetch budget dispatch in chunks."""
     from .neighbors import sym_pair_chunk_cap
 
     return _min_sweep_sym(index, payload, eps_space, eps_time,
                           query_limit=query_limit,
                           bypass_limit=bypass_limit, use_limit=use_limit,
-                          cap=sym_pair_chunk_cap(),
-                          local_iters=0 if use_limit else local_iters)
+                          cap=sym_pair_chunk_cap())
 
 
 def min_sweep_pallas_sym_gated(
@@ -919,24 +888,19 @@ def min_sweep_pallas_sym_gated(
     eps_time: jnp.ndarray,
     acc: jnp.ndarray,  # (Ntiles, T) int32 monotone accumulator
     tile_changed: jnp.ndarray,  # (Ntiles,) bool
-    local_iters: int = 0,
 ) -> jnp.ndarray:
     """Gated symmetric min sweep: dispatches ONLY the pairs touching a
     changed tile (compacted prefix of the static list; guarded DMA skips
     the dead tail), folding fresh minima into ``acc``.  Same monotone
     contract as neighbors.neighbor_min_sweep_gated — equals the full
     sweep's result at every round — but work scales with ACTIVE PAIRS
-    instead of paying the dense candidate-table compaction floor.  The
-    contract survives ``local_iters`` relays: a block's output is a pure
-    function of its two tiles' payloads, so untouched pairs reproduce the
-    output already folded into ``acc``."""
+    instead of paying the dense candidate-table compaction floor."""
     from .neighbors import sym_pair_chunk_cap
 
     pa2, pb2, n_act = _compact_active_pairs(index, tile_changed)
     fresh = _min_sweep_sym(index, payload, eps_space, eps_time,
                            cap=sym_pair_chunk_cap(),
-                           pairs_override=(pa2, pb2, n_act),
-                           local_iters=local_iters)
+                           pairs_override=(pa2, pb2, n_act))
     return jnp.minimum(acc, fresh)
 
 
@@ -968,8 +932,7 @@ def min_sweep_pallas_sym_scoped(
                           pairs_override=pairs_scoped)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("use_limit", "cap", "local_iters"))
+@functools.partial(jax.jit, static_argnames=("use_limit", "cap"))
 def _min_sweep_sym(
     index: SpatialIndex,
     payload: jnp.ndarray,
@@ -980,7 +943,6 @@ def _min_sweep_sym(
     use_limit: bool = False,
     cap: int = 1 << 30,
     pairs_override=None,  # (pa, pb, count): a compacted (gated) pair list
-    local_iters: int = 0,
 ) -> jnp.ndarray:
     nt, t = index.num_tiles, index.tile
     if pairs_override is not None:
@@ -1006,8 +968,7 @@ def _min_sweep_sym(
         pa, pb, cnt = _chunk_args(pa_full, pb_full, count, base, ln)
         acc_a, partial_b = pl.pallas_call(
             _make_sym_min_kernel(ln, use_limit=use_limit,
-                                 has_z=index.coords.shape[-1] >= 3,
-                                 local_iters=local_iters),
+                                 has_z=index.coords.shape[-1] >= 3),
             grid_spec=_sym_grid_spec(t, ln, 1),
             out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
                        jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),

@@ -204,8 +204,7 @@ def _refresh_slots(flat_new: jnp.ndarray, flat_old: jnp.ndarray,
     return jnp.where(flat_new < INT_MAX, ls, n_sorted)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "sym",
-                                              "local_iters"))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "sym"))
 def _cc_step(
     index: SpatialIndex,
     label: jnp.ndarray,
@@ -216,23 +215,20 @@ def _cc_step(
     eps_time: jnp.ndarray,
     use_pallas: bool = False,
     sym: bool = False,
-    local_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One propagation round: neighbor-min sweep + grandparent hooking +
     pointer jumps.  Labels are ORIGINAL point indices, so the fixpoint label
     is directly the component key (min original core index); ``lslot``
     carries each label's sorted slot so jump passes are single row gathers
     (see :func:`_jump_pass`).  ``sym`` selects the symmetric-pair Pallas
-    full sweep when the index carries the pair list; ``local_iters`` adds
-    in-block relay iterations to it.  Returns (new labels, new label
-    slots, this round's raw neighbor minima, changed?)."""
+    full sweep when the index carries the pair list.  Returns (new labels,
+    new label slots, this round's raw neighbor minima, changed?)."""
     n_sorted = label.size
     if sym and index.pair_a is not None:
         from .pallas_neighbors import min_sweep_pallas_sym
 
         def sweep(ix, pay, es, et):
-            return min_sweep_pallas_sym(ix, pay, es, et,
-                                        local_iters=local_iters)
+            return min_sweep_pallas_sym(ix, pay, es, et)
     else:
         sweep = _min_sweep_impl(use_pallas)
 
@@ -273,8 +269,7 @@ def _cc_step(
     return new, ls.reshape(label.shape), nbr_min, jnp.any(new != label)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("jump_cap", "sym", "local_iters"))
+@functools.partial(jax.jit, static_argnames=("jump_cap", "sym"))
 def _cc_step_gated(
     index: SpatialIndex,
     label: jnp.ndarray,
@@ -287,7 +282,6 @@ def _cc_step_gated(
     eps_time: jnp.ndarray,
     jump_cap: int = 2,
     sym: bool = False,
-    local_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Incremental :func:`_cc_step`: the neighbor-min sweep rescans only
     candidates in changed tiles (see neighbor_min_sweep_gated); hooking and
@@ -311,8 +305,7 @@ def _cc_step_gated(
         from .pallas_neighbors import min_sweep_pallas_sym_gated
 
         nbr_min = min_sweep_pallas_sym_gated(index, payload, eps_space,
-                                             eps_time, acc, tile_changed,
-                                             local_iters=local_iters)
+                                             eps_time, acc, tile_changed)
     else:
         nbr_min = neighbor_min_sweep_gated(index, payload, eps_space,
                                            eps_time, acc, tile_changed)
@@ -517,8 +510,7 @@ def st_dbscan_device(
                                              "n_offsets", "border_mode",
                                              "max_sweeps", "use_pallas",
                                              "hoisted_rounds",
-                                             "tail_jump_cap",
-                                             "local_iters"))
+                                             "tail_jump_cap"))
 def cluster_index(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
@@ -531,7 +523,6 @@ def cluster_index(
     use_pallas: bool = False,
     hoisted_rounds: int = 1,
     tail_jump_cap: int = 2,
-    local_iters: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cluster a built spatial index as one device program: the convergence
     loop is a bounded ``lax.while_loop`` (zero host syncs — the only sync in
@@ -569,8 +560,7 @@ def cluster_index(
     # none of the gating's candidate-compaction overhead.
     label1, lslot1, acc1, _ = _cc_step(index, label0, lslot0, core, inv,
                                        eps_space, eps_time, use_pallas=False,
-                                       sym=use_pallas,
-                                       local_iters=local_iters)
+                                       sym=use_pallas)
     prev = label0
     for _ in range(hoisted_rounds - 1):
         # early rounds rescan essentially everything (the round-2 frontier
@@ -581,8 +571,7 @@ def cluster_index(
         label1, lslot1, nbr1, _ = _cc_step(index, label1, lslot1, core, inv,
                                            eps_space, eps_time,
                                            use_pallas=False,
-                                           sym=use_pallas,
-                                           local_iters=local_iters)
+                                           sym=use_pallas)
         acc1 = jnp.minimum(acc1, nbr1)
     # the gated loop's frontier: tiles whose labels changed in the LAST
     # hoisted round (monotone labels make this exactly the set whose
@@ -598,8 +587,7 @@ def cluster_index(
                                                  acc, tchanged, eps_space,
                                                  eps_time,
                                                  jump_cap=tail_jump_cap,
-                                                 sym=use_pallas,
-                                                 local_iters=local_iters)
+                                                 sym=use_pallas)
         return (new, ls2, acc2, jnp.any(new != lbl, axis=1), changed, it + 1)
 
     label, _, last_nbr_min, _, _, _ = jax.lax.while_loop(

@@ -574,82 +574,3 @@ def test_scoped_sweep_exact_at_masked_tiles(seed):
         sel = np.asarray(idx.valid) & mask_np[:, None]
         assert np.array_equal(np.asarray(scoped)[sel],
                               np.asarray(full)[sel]), f"frac={frac}"
-
-
-def test_local_relay_never_crosses_noncore():
-    """In-block relay iterations (local_iters > 0) must propagate labels
-    only THROUGH core lanes: on a 3-point chain p0—p1—p2 (p0,p2 not
-    directly in range), a sweep sees p0's label at p2 iff p1 is core."""
-    pts = np.array([[0.0, 0.0], [5.0, 0.0], [10.0, 0.0]], np.float32)
-    times = np.zeros(3, np.float32)
-    valid = np.ones(3, bool)
-    es, et = jnp.float32(6.0), jnp.float32(1.0)
-    idx = build_spatial_index(jnp.asarray(pts), jnp.asarray(times),
-                              jnp.asarray(valid), 6.0, 1.0, tile=64,
-                              pairs=True)
-    perm = np.asarray(idx.perm)  # sorted slot -> original index
-    shape = idx.valid.shape
-    v = np.asarray(idx.valid).reshape(-1)
-
-    def payload_from(orig):
-        pay = np.full(shape, INT_MAX, np.int32).reshape(-1)
-        pay[np.flatnonzero(v)] = orig[perm]
-        return jnp.asarray(pay.reshape(shape))
-
-    def at(out, i):  # original point i's sweep output
-        return int(np.asarray(out).reshape(-1)[np.flatnonzero(v)[
-            int(np.flatnonzero(perm == i)[0])]])
-
-    # p1 core (label 1): relays p0's 0 to p2 within the block
-    pay_core = payload_from(np.array([0, 1, 2], np.int32))
-    one_hop = min_sweep_pallas_sym(idx, pay_core, es, et)
-    relayed = min_sweep_pallas_sym(idx, pay_core, es, et, local_iters=2)
-    assert at(one_hop, 2) == 1  # direct neighbor min only
-    assert at(relayed, 2) == 0  # two-hop relay through core p1
-    # p1 NON-core (INT_MAX): must not relay — p2 sees only itself
-    pay_nc = payload_from(np.array([0, INT_MAX, 2], np.int32))
-    blocked = min_sweep_pallas_sym(idx, pay_nc, es, et, local_iters=4)
-    assert at(blocked, 2) == 2  # own label via self-pair; 0 never arrives
-    assert at(blocked, 0) == 0
-
-
-@pytest.mark.parametrize("li", [1, 2])
-@pytest.mark.parametrize("border_mode", ["always", "if_earlier"])
-def test_full_cluster_program_local_relay_exact(li, border_mode):
-    """cluster_index with in-block relay iterations (any count) must
-    bit-match the plain XLA engine: relays only accelerate the monotone
-    fixpoint, never change it."""
-    from radar_point_cloud_tracking_tpu.ops import stdbscan as sd
-
-    coords, times, valid = _scene(17, n=1200)
-    n = coords.shape[0]
-    es, et = jnp.float32(7.0), jnp.float32(2.0)
-    base, kb = sd.st_dbscan_device(
-        jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
-        7.0, 2.0, 8, border_mode=border_mode, tile=64, use_pallas=False)
-    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
-                              jnp.asarray(valid), 7.0, 2.0, tile=64,
-                              pairs=True)
-    got, kg = sd.cluster_index(idx, es, et, 8, 1, 0, border_mode, 256,
-                               use_pallas=True, local_iters=li)
-    assert int(kb) == int(kg)
-    assert np.array_equal(np.asarray(base)[:n], np.asarray(got)[:n])
-
-
-def test_full_cluster_program_local_relay_min_frames_exact():
-    from radar_point_cloud_tracking_tpu.ops import stdbscan as sd
-
-    coords, times, valid = _scene(19, n=1000)
-    n = coords.shape[0]
-    es, et = jnp.float32(7.0), jnp.float32(2.0)
-    base, kb = sd.st_dbscan_device(
-        jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
-        7.0, 2.0, 8, min_frames=2, border_mode="if_earlier", tile=64,
-        use_pallas=False)
-    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
-                              jnp.asarray(valid), 7.0, 2.0, tile=64,
-                              pairs=True)
-    got, kg = sd.cluster_index(idx, es, et, 8, 2, 2, "if_earlier", 256,
-                               use_pallas=True, local_iters=2)
-    assert int(kb) == int(kg)
-    assert np.array_equal(np.asarray(base)[:n], np.asarray(got)[:n])

@@ -8,9 +8,8 @@ this scale.
 
 Usage: python tools/profile_denoise_cluster.py [use_pallas: 0/1, default 1]
                                                [tile=N (default: config)]
-                                               [li=N in-block relay iters]
                                                [jc=N tail jump cap]
-With li/jc nonstandard the whole-program run also label-checks against the
+With jc nonstandard the whole-program run also label-checks against the
 default-knob program (bit-equality printed).
 """
 import sys
@@ -37,12 +36,10 @@ def t(fn, reps=2):
 
 
 def main():
-    use_pallas, tile, li, jc = True, None, 0, 2
+    use_pallas, tile, jc = True, None, 2
     for a in sys.argv[1:]:
         if a.startswith("tile="):
             tile = int(a.split("=", 1)[1])
-        elif a.startswith("li="):
-            li = int(a.split("=", 1)[1])
         elif a.startswith("jc="):
             jc = int(a.split("=", 1)[1])
         else:
@@ -56,7 +53,7 @@ def main():
     if tile is None:
         tile = cfg.clustering.tile_size
     print(f"denoise scene: {n:,} points, capacity {cap:,} "
-          f"use_pallas={use_pallas} tile={tile} li={li} jc={jc}")
+          f"use_pallas={use_pallas} tile={tile} jc={jc}")
     es, et = jnp.float32(8.0), jnp.float32(2.0)
     valid = jnp.arange(cap) < jnp.int32(n)
     min_samples, min_frames, n_offsets = 15, 2, 2
@@ -80,7 +77,7 @@ def main():
 
     th, (label1, lslot1, acc1, _) = t(lambda: sd._cc_step(
         index, label0, lslot0, core, inv, es, et, use_pallas=False,
-        sym=use_pallas, local_iters=li))
+        sym=use_pallas))
     print(f"hoisted full round 1:         {th*1e3:7.0f} ms")
 
     # gated rounds, each timed (no warm rep — each round's compacted
@@ -94,7 +91,7 @@ def main():
         t0 = time.perf_counter()
         new, ls2, acc2, any_changed = sd._cc_step_gated(
             index, label, lslot, core, inv, acc, changed, es, et,
-            jump_cap=jc, sym=use_pallas, local_iters=li)
+            jump_cap=jc, sym=use_pallas)
         jax.block_until_ready(new)
         dt = time.perf_counter() - t0
         total_gated += dt
@@ -153,12 +150,11 @@ def main():
     # full program for reference
     tp, (lbl, k) = t(lambda: sd.cluster_index(
         index, es, et, min_samples, min_frames, n_offsets, "if_earlier",
-        256, use_pallas=use_pallas, tail_jump_cap=jc, local_iters=li),
-        reps=1)
+        256, use_pallas=use_pallas, tail_jump_cap=jc), reps=1)
     noise = int(jnp.sum(lbl[:n] == -1))
     print(f"whole cluster_index:          {tp*1e3:7.0f} ms "
           f"({int(k)} clusters, {noise:,} noise pts)")
-    if li != 0 or jc != 2:
+    if jc != 2:
         lbl0, k0 = sd.cluster_index(
             index, es, et, min_samples, min_frames, n_offsets, "if_earlier",
             256, use_pallas=use_pallas)
