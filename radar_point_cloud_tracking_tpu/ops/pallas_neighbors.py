@@ -574,16 +574,10 @@ def _sym_prefetch(p, p_pad: int, cnt, start_fetch):
         start_fetch(jax.lax.rem(p + 1, 2), p + 1)
 
 
-def _make_sym_stats_kernel(p_pad: int, has_z: bool = False,
-                           with_min: bool = False):
+def _make_sym_stats_kernel(p_pad: int, has_z: bool = False):
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
-               eps_ref, *out_refs):
-        if with_min:
-            deg_ref, mn_ref, partial_ref, pmn_ref = out_refs[:4]
-            fbuf, sems = out_refs[4:]
-        else:
-            deg_ref, partial_ref = out_refs[:2]
-            fbuf, sems = out_refs[2:]
+               eps_ref, deg_ref, partial_ref,
+               fbuf, sems):
         p = pl.program_id(0)
         live = p < cnt_ref[0]
         a = pa_ref[p]
@@ -601,13 +595,9 @@ def _make_sym_stats_kernel(p_pad: int, has_z: bool = False,
         @pl.when(first)
         def _():
             deg_ref[...] = jnp.zeros_like(deg_ref)
-            if with_min:
-                mn_ref[...] = jnp.full_like(mn_ref, INT_MAX)
 
         slot = jax.lax.rem(p, 2)
         partial_ref[...] = jnp.zeros_like(partial_ref)
-        if with_min:
-            pmn_ref[...] = jnp.full_like(pmn_ref, INT_MAX)
 
         @pl.when(live)
         def _():
@@ -631,20 +621,6 @@ def _make_sym_stats_kernel(p_pad: int, has_z: bool = False,
             mask = ((d2 <= eps2) & (jnp.abs(dt) <= eps_t))
             deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(mask, axis=1,
                                                     dtype=jnp.int32)
-            if with_min:
-                # unmasked-neighbor id minimum (fused round-1 seed,
-                # stdbscan.cluster_index): payload rides plane 3; min is
-                # idempotent so the diagonal's column emission is harmless
-                pay_a = jax.lax.bitcast_convert_type(fbuf[slot, 0, 3],
-                                                     jnp.int32)
-                pay_b = jax.lax.bitcast_convert_type(fbuf[slot, 1, 3],
-                                                     jnp.int32)
-                mn_ref[0, 0] = jnp.minimum(
-                    mn_ref[0, 0],
-                    jnp.min(jnp.where(mask, pay_b[None, :], INT_MAX),
-                            axis=1))
-                pmn_ref[0, 0] = jnp.min(
-                    jnp.where(mask, pay_a[:, None], INT_MAX), axis=0)
 
             @pl.when(a != b)
             def _():
@@ -827,23 +803,15 @@ def core_stats_pallas_sym(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
-    min_payload: Optional[jnp.ndarray] = None,
-):
+) -> jnp.ndarray:
     """Symmetric-pair degree sweep (2D coords, no min_frames): each
     unordered tile pair's predicate evaluated once.  Requires an index
     built with ``pairs=True``; lists wider than the SMEM prefetch budget
-    dispatch in chunks.
-
-    With ``min_payload`` (an (Ntiles, T) int32 plane), the SAME pass also
-    folds the UNMASKED neighbor minimum of that payload per point —
-    returning ``(degree, m_all)`` — for ~2 extra VPU ops per lane-pair
-    instead of a second full sweep (fused round-1 seed,
-    stdbscan.cluster_index)."""
+    dispatch in chunks."""
     from .neighbors import sym_pair_chunk_cap
 
     return _core_stats_sym(index, eps_space, eps_time,
-                           cap=sym_pair_chunk_cap(),
-                           min_payload=min_payload)
+                           cap=sym_pair_chunk_cap())
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -852,66 +820,43 @@ def _core_stats_sym(
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
     cap: int,
-    min_payload: Optional[jnp.ndarray] = None,
-):
+) -> jnp.ndarray:
     nt, t = index.num_tiles, index.tile
     p_pad = index.pair_a.shape[0]
-    with_min = min_payload is not None
-    fplanes = _sym_fplanes(index, min_payload)
+    fplanes = _sym_fplanes(index, None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
     chunks = _pair_chunks(p_pad, cap)
 
     deg_a_tot = jnp.zeros((nt, t), jnp.int32)
     deg_b = jnp.zeros((nt, t), jnp.int32)
-    mn_a_tot = jnp.full((nt, t), INT_MAX, jnp.int32)
-    mn_b = jnp.full((nt, t), INT_MAX, jnp.int32)
-    n_a = 2 if with_min else 1
     for base, ln in chunks:
         pa, pb, cnt = _chunk_args(index.pair_a, index.pair_b,
                                   index.pair_count, base, ln)
-        shp_a = jax.ShapeDtypeStruct((nt, 1, t), jnp.int32)
-        shp_b = jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)
-        outs = pl.pallas_call(
+        deg_a, partial_b = pl.pallas_call(
             _make_sym_stats_kernel(ln,
-                                   has_z=index.coords.shape[-1] >= 3,
-                                   with_min=with_min),
-            grid_spec=_sym_grid_spec(t, ln, n_a),
-            out_shape=tuple([shp_a] * n_a + [shp_b] * n_a),
+                                   has_z=index.coords.shape[-1] >= 3),
+            grid_spec=_sym_grid_spec(t, ln, 1),
+            out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
             interpret=_interpret(),
             compiler_params=_SYM_COMPILER_PARAMS,
         )(pa, pb, cnt.reshape(1), fplanes, eps)
-        if with_min:
-            deg_a, mn_a, partial_b, pmn_b = outs
-        else:
-            deg_a, partial_b = outs
         da = deg_a.reshape(nt, t)
         if len(chunks) == 1:
             # single chunk: every tile with pairs is visited as ``a`` (the
             # self pair), so only all-invalid tiles hold garbage — masked
             # by index.valid below
             deg_a_tot = da
-            if with_min:
-                mn_a_tot = mn_a.reshape(nt, t)
         else:
             # a tile's pairs may span chunks; unvisited-in-this-chunk
             # blocks hold garbage, so mask by this chunk's visited set
             visited = jnp.zeros((nt,), bool).at[pa].set(True)
             deg_a_tot = deg_a_tot + jnp.where(visited[:, None], da, 0)
-            if with_min:
-                mn_a_tot = jnp.minimum(
-                    mn_a_tot, jnp.where(visited[:, None],
-                                        mn_a.reshape(nt, t), INT_MAX))
         deg_b = deg_b.at[pb].add(partial_b.reshape(ln, t), mode="drop")
-        if with_min:
-            mn_b = mn_b.at[pb].min(pmn_b.reshape(ln, t), mode="drop")
     # blocks of all-invalid tiles are never visited (no pairs) and hold
     # whatever was in the output buffer; their degrees are unused (core
     # requires index.valid) but zero them for deterministic output
-    deg = jnp.where(index.valid, deg_a_tot + deg_b, 0)
-    if not with_min:
-        return deg
-    m_all = jnp.where(index.valid, jnp.minimum(mn_a_tot, mn_b), INT_MAX)
-    return deg, m_all
+    return jnp.where(index.valid, deg_a_tot + deg_b, 0)
 
 
 def min_sweep_pallas_sym(
@@ -976,15 +921,13 @@ def min_sweep_pallas_sym_scoped(
     ``if_earlier`` sweep (stdbscan.cluster_index), which reads border keys
     only at valid non-core points — at denoise scale those concentrate in
     ~11% of tiles / 13% of pairs (ROUND4.md), shrinking the full-table
-    border sweep ~8x — and by the fused round-1 residual sweep (no
-    limit operands: pass ``query_limit=None``)."""
+    border sweep ~8x."""
     from .neighbors import sym_pair_chunk_cap
 
     pairs_scoped = _compact_active_pairs(index, tile_mask)
     return _min_sweep_sym(index, payload, eps_space, eps_time,
                           query_limit=query_limit,
-                          bypass_limit=bypass_limit,
-                          use_limit=query_limit is not None,
+                          bypass_limit=bypass_limit, use_limit=True,
                           cap=sym_pair_chunk_cap(),
                           pairs_override=pairs_scoped)
 
@@ -1046,8 +989,7 @@ def _min_sweep_sym(
 
 
 def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
-                              has_z: bool = False,
-                              with_min: bool = False):
+                              has_z: bool = False):
     """Symmetric degree + frame-presence kernel (min_frames core test).
 
     The b side cannot OR a bitmask through an XLA scatter (no bitwise-or
@@ -1056,23 +998,13 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
     where a row scatter-max IS the or-reduction) — one int32 row per pair
     instead of per-offset planes, keeping the partial buffer the same size
     as the other symmetric kernels' (~1 GB, not ~8.6 GB, at the
-    denoise-flagship scale).  n_offsets <= 15 (bitmask width).
-
-    ``with_min`` additionally folds the UNMASKED neighbor-id minimum
-    (payload plane 3) for the fused round-1 seed — see
-    stdbscan.cluster_index."""
+    denoise-flagship scale).  n_offsets <= 15 (bitmask width)."""
     ki = n_offsets
     assert 2 * ki + 1 <= 31
 
     def kernel(pa_ref, pb_ref, cnt_ref, fplanes_hbm,
-               eps_ref, *out_refs):
-        if with_min:
-            (deg_ref, bits_ref, mn_ref,
-             pdeg_ref, pbits_ref, pmn_ref) = out_refs[:6]
-            fbuf, sems = out_refs[6:]
-        else:
-            deg_ref, bits_ref, pdeg_ref, pbits_ref = out_refs[:4]
-            fbuf, sems = out_refs[4:]
+               eps_ref, deg_ref, bits_ref, pdeg_ref, pbits_ref,
+               fbuf, sems):
         p = pl.program_id(0)
         live = p < cnt_ref[0]
         a = pa_ref[p]
@@ -1088,14 +1020,10 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
         def _():
             deg_ref[...] = jnp.zeros_like(deg_ref)
             bits_ref[...] = jnp.zeros_like(bits_ref)
-            if with_min:
-                mn_ref[...] = jnp.full_like(mn_ref, INT_MAX)
 
         slot = jax.lax.rem(p, 2)
         pdeg_ref[...] = jnp.zeros_like(pdeg_ref)
         pbits_ref[...] = jnp.zeros_like(pbits_ref)
-        if with_min:
-            pmn_ref[...] = jnp.full_like(pmn_ref, INT_MAX)
 
         @pl.when(live)
         def _():
@@ -1130,18 +1058,6 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
                 bits_b = bits_b | jnp.where(
                     hit_b, np.int32(1 << (off + ki)), 0).astype(jnp.int32)
             bits_ref[0, 0] = bits
-            if with_min:
-                # min is idempotent: diagonal column emission is harmless
-                pay_a = jax.lax.bitcast_convert_type(fbuf[slot, 0, 3],
-                                                     jnp.int32)
-                pay_b = jax.lax.bitcast_convert_type(fbuf[slot, 1, 3],
-                                                     jnp.int32)
-                mn_ref[0, 0] = jnp.minimum(
-                    mn_ref[0, 0],
-                    jnp.min(jnp.where(mask, pay_b[None, :], INT_MAX),
-                            axis=1))
-                pmn_ref[0, 0] = jnp.min(
-                    jnp.where(mask, pay_a[:, None], INT_MAX), axis=0)
 
             @pl.when(a != b)
             def _():
@@ -1156,20 +1072,14 @@ def core_stats_pallas_sym_mf(
     eps_space: jnp.ndarray,
     eps_time: jnp.ndarray,
     n_offsets: int,
-    min_payload: Optional[jnp.ndarray] = None,
-):
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric-pair degree + frame-count sweep (min_frames variant).
     Returns (degree, frame_count) like neighbors.neighbor_core_stats.
-    Lists wider than the SMEM prefetch budget dispatch in chunks.
-
-    With ``min_payload``, also folds the unmasked neighbor-id minimum in
-    the same pass (returns ``(degree, frame_count, m_all)``) — see
-    core_stats_pallas_sym."""
+    Lists wider than the SMEM prefetch budget dispatch in chunks."""
     from .neighbors import sym_pair_chunk_cap
 
     return _core_stats_sym_mf(index, eps_space, eps_time, n_offsets,
-                              cap=sym_pair_chunk_cap(),
-                              min_payload=min_payload)
+                              cap=sym_pair_chunk_cap())
 
 
 @functools.partial(jax.jit, static_argnames=("n_offsets", "cap"))
@@ -1179,63 +1089,46 @@ def _core_stats_sym_mf(
     eps_time: jnp.ndarray,
     n_offsets: int,
     cap: int,
-    min_payload: Optional[jnp.ndarray] = None,
-):
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     from .neighbors import _popcount
 
     nt, t = index.num_tiles, index.tile
     p_pad = index.pair_a.shape[0]
     ki = n_offsets
-    with_min = min_payload is not None
-    fplanes = _sym_fplanes(index, min_payload)
+    fplanes = _sym_fplanes(index, None)
     eps = jnp.stack([eps_space * eps_space, eps_time]).reshape(1, 2)
     chunks = _pair_chunks(p_pad, cap)
 
     deg_a_tot = jnp.zeros((nt, t), jnp.int32)
     bits_a_tot = jnp.zeros((nt, t), jnp.int32)
     deg_b = jnp.zeros((nt, t), jnp.int32)
-    mn_a_tot = jnp.full((nt, t), INT_MAX, jnp.int32)
-    mn_b = jnp.full((nt, t), INT_MAX, jnp.int32)
     # per-offset b-side presence accumulators: extracted bits are 0/1, so
     # scatter-max is the or-reduction (an int32 scatter-max of the whole
     # bitmask would NOT be an or)
     pk_acc = [jnp.zeros((nt, t), jnp.int32) for _ in range(2 * ki + 1)]
-    n_a = 3 if with_min else 2
     for base, ln in chunks:
         pa, pb, cnt = _chunk_args(index.pair_a, index.pair_b,
                                   index.pair_count, base, ln)
-        shp_a = jax.ShapeDtypeStruct((nt, 1, t), jnp.int32)
-        shp_b = jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)
-        outs = pl.pallas_call(
+        deg_a, bits_a, pdeg, pbits = pl.pallas_call(
             _make_sym_stats_mf_kernel(ln, ki,
-                                      has_z=index.coords.shape[-1] >= 3,
-                                      with_min=with_min),
-            grid_spec=_sym_grid_spec(t, ln, n_a),
-            out_shape=tuple([shp_a] * n_a + [shp_b] * n_a),
+                                      has_z=index.coords.shape[-1] >= 3),
+            grid_spec=_sym_grid_spec(t, ln, 2),
+            out_shape=(jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((nt, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32),
+                       jax.ShapeDtypeStruct((ln, 1, t), jnp.int32)),
             interpret=_interpret(),
             compiler_params=_SYM_COMPILER_PARAMS,
         )(pa, pb, cnt.reshape(1), fplanes, eps)
-        if with_min:
-            deg_a, bits_a, mn_a, pdeg, pbits, pmn_b = outs
-        else:
-            deg_a, bits_a, pdeg, pbits = outs
         da = deg_a.reshape(nt, t)
         ba = bits_a.reshape(nt, t)
         if len(chunks) == 1:
             deg_a_tot, bits_a_tot = da, ba
-            if with_min:
-                mn_a_tot = mn_a.reshape(nt, t)
         else:
             visited = jnp.zeros((nt,), bool).at[pa].set(True)
             deg_a_tot = deg_a_tot + jnp.where(visited[:, None], da, 0)
             bits_a_tot = bits_a_tot | jnp.where(visited[:, None], ba, 0)
-            if with_min:
-                mn_a_tot = jnp.minimum(
-                    mn_a_tot, jnp.where(visited[:, None],
-                                        mn_a.reshape(nt, t), INT_MAX))
         deg_b = deg_b.at[pb].add(pdeg.reshape(ln, t), mode="drop")
-        if with_min:
-            mn_b = mn_b.at[pb].min(pmn_b.reshape(ln, t), mode="drop")
         pb2 = pbits.reshape(ln, t)
         for k in range(2 * ki + 1):
             pk_acc[k] = pk_acc[k].at[pb].max((pb2 >> k) & 1, mode="drop")
@@ -1244,7 +1137,4 @@ def _core_stats_sym_mf(
     for k in range(2 * ki + 1):
         bits = bits | (pk_acc[k] << k)
     frame_count = jnp.where(index.valid, _popcount(bits), 0)
-    if not with_min:
-        return deg, frame_count
-    m_all = jnp.where(index.valid, jnp.minimum(mn_a_tot, mn_b), INT_MAX)
-    return deg, frame_count, m_all
+    return deg, frame_count

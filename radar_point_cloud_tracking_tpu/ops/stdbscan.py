@@ -94,10 +94,6 @@ def sym_engine_ok(tile: int = 512, has_z: bool = False,
         idx = build_spatial_index(coords, times, valid, 6.0, 2.0,
                                   tile=tile, pairs=True)
         v = np.asarray(idx.valid)
-        # unmasked-id plane for the fused (with_min) stats variants: the
-        # expected m_all is the XLA min sweep of the same raw-id payload
-        ids2d, _ = _perm2d_and_inv(idx, idx.valid)
-        m_x = np.asarray(neighbor_min_sweep(idx, ids2d, es, et))
         if mf:
             dmf_s, fmf_s = core_stats_pallas_sym_mf(idx, es, et, mf)
             dmf_x, fmf_x = neighbor_core_stats(idx, es, et, n_offsets=mf)
@@ -105,21 +101,11 @@ def sym_engine_ok(tile: int = 512, has_z: bool = False,
                 np.array_equal(np.asarray(dmf_s)[v], np.asarray(dmf_x)[v])
                 and np.array_equal(np.asarray(fmf_s)[v],
                                    np.asarray(fmf_x)[v]))
-            dmw, fmw, mw = core_stats_pallas_sym_mf(idx, es, et, mf,
-                                                    min_payload=ids2d)
-            ok = ok and bool(
-                np.array_equal(np.asarray(dmw)[v], np.asarray(dmf_x)[v])
-                and np.array_equal(np.asarray(fmw)[v], np.asarray(fmf_x)[v])
-                and np.array_equal(np.asarray(mw)[v], m_x[v]))
         else:
             deg_s = np.asarray(core_stats_pallas_sym(idx, es, et))
             deg_x = np.asarray(
                 neighbor_core_stats(idx, es, et, n_offsets=0)[0])
             ok = bool(np.array_equal(deg_s[v], deg_x[v]))
-            dw, mw = core_stats_pallas_sym(idx, es, et, min_payload=ids2d)
-            ok = ok and bool(
-                np.array_equal(np.asarray(dw)[v], deg_x[v])
-                and np.array_equal(np.asarray(mw)[v], m_x[v]))
         pay = np.asarray(rng.integers(0, n, idx.valid.shape), np.int32)
         pay[~v] = INT_MAX
         pay = jnp.asarray(pay)
@@ -148,15 +134,9 @@ def sym_engine_ok(tile: int = 512, has_z: bool = False,
                 np.array_equal(np.asarray(dmc)[v], np.asarray(dmf_x)[v])
                 and np.array_equal(np.asarray(fmc)[v],
                                    np.asarray(fmf_x)[v]))
-            _, _, mwc = _core_stats_sym_mf(idx, es, et, mf, cap=cap,
-                                           min_payload=ids2d)
-            ok = ok and bool(np.array_equal(np.asarray(mwc)[v], m_x[v]))
         else:
             deg_c = np.asarray(_core_stats_sym(idx, es, et, cap=cap))
             ok = ok and bool(np.array_equal(deg_c[v], deg_x[v]))
-            _, mwc = _core_stats_sym(idx, es, et, cap=cap,
-                                     min_payload=ids2d)
-            ok = ok and bool(np.array_equal(np.asarray(mwc)[v], m_x[v]))
         minc = np.asarray(_min_sweep_sym(idx, pay, es, et, cap=cap))
         ok = ok and bool(np.array_equal(minc[v], min_x[v]))
         _SYM_STATUS[key] = ok
@@ -235,18 +215,14 @@ def _cc_step(
     eps_time: jnp.ndarray,
     use_pallas: bool = False,
     sym: bool = False,
-    precomputed_nbr_min: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One propagation round: neighbor-min sweep + grandparent hooking +
     pointer jumps.  Labels are ORIGINAL point indices, so the fixpoint label
     is directly the component key (min original core index); ``lslot``
     carries each label's sorted slot so jump passes are single row gathers
     (see :func:`_jump_pass`).  ``sym`` selects the symmetric-pair Pallas
-    full sweep when the index carries the pair list.  With
-    ``precomputed_nbr_min`` (the fused round-1 path in
-    :func:`cluster_index`) the sweep is skipped and the given minima are
-    folded instead.  Returns (new labels, new label slots, this round's
-    raw neighbor minima, changed?)."""
+    full sweep when the index carries the pair list.  Returns (new labels,
+    new label slots, this round's raw neighbor minima, changed?)."""
     n_sorted = label.size
     if sym and index.pair_a is not None:
         from .pallas_neighbors import min_sweep_pallas_sym
@@ -257,10 +233,7 @@ def _cc_step(
         sweep = _min_sweep_impl(use_pallas)
 
     payload = jnp.where(core, label, INT_MAX)
-    if precomputed_nbr_min is not None:
-        nbr_min = precomputed_nbr_min
-    else:
-        nbr_min = sweep(index, payload, eps_space, eps_time)
+    nbr_min = sweep(index, payload, eps_space, eps_time)
     new = jnp.where(core, jnp.minimum(label, nbr_min), INT_MAX)
 
     # Grandparent hooking (FastSV-style): scatter each point's neighborhood
@@ -537,8 +510,7 @@ def st_dbscan_device(
                                              "n_offsets", "border_mode",
                                              "max_sweeps", "use_pallas",
                                              "hoisted_rounds",
-                                             "tail_jump_cap",
-                                             "fused_round1"))
+                                             "tail_jump_cap"))
 def cluster_index(
     index: SpatialIndex,
     eps_space: jnp.ndarray,
@@ -551,7 +523,6 @@ def cluster_index(
     use_pallas: bool = False,
     hoisted_rounds: int = 1,
     tail_jump_cap: int = 2,
-    fused_round1: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cluster a built spatial index as one device program: the convergence
     loop is a bounded ``lax.while_loop`` (zero host syncs — the only sync in
@@ -563,67 +534,19 @@ def cluster_index(
     the bench scene's 1.55M points), while the min sweeps stay XLA — the
     DMA min kernel measured a wash there (290 ms vs 284 ms; both numbers
     in ROUND3.md) and the gated incremental tail is XLA's strength.
-
-    ``fused_round1`` (symmetric engine only): round 1's sweep payload is
-    ``where(core, original_index, INT_MAX)`` — the payload IS the point id
-    — so the stats pass folds the UNMASKED neighbor-id minimum ``m_all``
-    as ~2 extra VPU ops per lane-pair, and wherever the point named by
-    ``m_all(i)`` is core, the masked minimum equals ``m_all(i)`` exactly
-    (min over a subset is bounded below by the unmasked min and attained
-    at that core point).  Only points whose nearest-by-id neighbor is
-    NON-core need a real masked sweep, and those concentrate in the same
-    few tiles as the non-core points themselves, so a scoped sweep over
-    pairs touching their tiles resolves the residual — skipping the full
-    round-1 sweep entirely.  Exact by construction at every point (core,
-    border, and noise), so ``acc1`` keeps the monotone-accumulator
-    contract of the gated rounds and of the "always" border key."""
-    sym_live = use_pallas and index.pair_a is not None
-    use_fused = (fused_round1 and sym_live and hoisted_rounds >= 1
-                 and (n_offsets == 0 or n_offsets <= 3))
-    perm2d, inv = _perm2d_and_inv(index, index.valid)
-    m_all = None
-    if use_fused:
-        if n_offsets == 0:
-            from .pallas_neighbors import core_stats_pallas_sym
-
-            degree, m_all = core_stats_pallas_sym(index, eps_space,
-                                                  eps_time,
-                                                  min_payload=perm2d)
-            frame_count = jnp.zeros_like(degree)
-        else:
-            from .pallas_neighbors import core_stats_pallas_sym_mf
-
-            degree, frame_count, m_all = core_stats_pallas_sym_mf(
-                index, eps_space, eps_time, n_offsets, min_payload=perm2d)
-    else:
-        degree, frame_count = _core_stats(index, eps_space, eps_time,
-                                          n_offsets, use_pallas)
+    """
+    degree, frame_count = _core_stats(index, eps_space, eps_time, n_offsets,
+                                      use_pallas)
     core = index.valid & (degree >= jnp.int32(min_samples))
     if min_frames > 1:
         core = core & (frame_count >= jnp.int32(min_frames))
 
+    perm2d, inv = _perm2d_and_inv(index, core)
     label0 = jnp.where(core, perm2d, INT_MAX)
     n_sorted = label0.size
     own_slot = jnp.arange(n_sorted, dtype=jnp.int32).reshape(label0.shape)
     # initial labels are each core's own original index -> own slot
     lslot0 = jnp.where(core, own_slot, n_sorted)
-
-    nbr_min1 = None
-    if use_fused:
-        # resolve round-1 minima from m_all: ids are unique, so m_all(i)
-        # names the argmin neighbor directly — one gather decides whether
-        # it is core (resolved) or not (residual scoped sweep)
-        n_orig = index.perm.shape[0]
-        m_slot = inv[jnp.clip(m_all, 0, n_orig - 1)]
-        m_core = (m_all < INT_MAX) & core.reshape(-1)[m_slot]
-        unresolved = index.valid & ~m_core
-        scope = jnp.any(unresolved, axis=1)
-        from .pallas_neighbors import min_sweep_pallas_sym_scoped
-
-        sc = min_sweep_pallas_sym_scoped(index, label0, eps_space,
-                                         eps_time, scope)
-        nbr_min1 = jnp.where(scope[:, None], sc,
-                             jnp.where(m_core, m_all, INT_MAX))
 
     # Incremental frontier loop: propagation is monotone, so each round
     # rescans only candidates in tiles whose labels changed last round,
@@ -634,12 +557,10 @@ def cluster_index(
     # tail rounds plus the final confirming round shrink from full
     # candidate-table sweeps to a near-empty frontier.  Round 1 always
     # scans everything, so it runs hoisted as a plain full sweep with
-    # none of the gating's candidate-compaction overhead (or, fused, from
-    # the stats pass's m_all + the scoped residual — see above).
+    # none of the gating's candidate-compaction overhead.
     label1, lslot1, acc1, _ = _cc_step(index, label0, lslot0, core, inv,
                                        eps_space, eps_time, use_pallas=False,
-                                       sym=use_pallas,
-                                       precomputed_nbr_min=nbr_min1)
+                                       sym=use_pallas)
     prev = label0
     for _ in range(hoisted_rounds - 1):
         # early rounds rescan essentially everything (the round-2 frontier

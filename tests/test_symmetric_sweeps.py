@@ -574,99 +574,3 @@ def test_scoped_sweep_exact_at_masked_tiles(seed):
         sel = np.asarray(idx.valid) & mask_np[:, None]
         assert np.array_equal(np.asarray(scoped)[sel],
                               np.asarray(full)[sel]), f"frac={frac}"
-
-
-# ---------------------------------------------------------------------------
-# Fused round-1: the stats pass's unmasked neighbor-id minimum (with_min)
-# and the cluster program built on it (stdbscan.cluster_index fused_round1)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("seed", [11, 12])
-@pytest.mark.parametrize("mf", [0, 2])
-def test_stats_with_min_matches_directed_min_sweep(seed, mf):
-    """The fused stats pass's m_all must equal the XLA min sweep of the
-    same raw-id payload (and leave degree/frame_count untouched)."""
-    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
-        core_stats_pallas_sym_mf,
-    )
-    from radar_point_cloud_tracking_tpu.ops.stdbscan import _perm2d_and_inv
-
-    coords, times, valid = _scene(seed)
-    es, et = jnp.float32(7.0), jnp.float32(2.0)
-    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
-                              jnp.asarray(valid), 7.0, 2.0, tile=64,
-                              pairs=True)
-    ids2d, _ = _perm2d_and_inv(idx, idx.valid)
-    v = np.asarray(idx.valid)
-    want_m = np.asarray(neighbor_min_sweep(idx, ids2d, es, et))
-    if mf == 0:
-        want_d, _ = neighbor_core_stats(idx, es, et, n_offsets=0)
-        got_d, got_m = core_stats_pallas_sym(idx, es, et, min_payload=ids2d)
-        assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
-    else:
-        want_d, want_f = neighbor_core_stats(idx, es, et, n_offsets=mf)
-        got_d, got_f, got_m = core_stats_pallas_sym_mf(
-            idx, es, et, mf, min_payload=ids2d)
-        assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
-        assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
-    assert np.array_equal(np.asarray(got_m)[v], want_m[v])
-
-
-def test_stats_with_min_chunked_matches_single_call():
-    from radar_point_cloud_tracking_tpu.ops.pallas_neighbors import (
-        _core_stats_sym,
-        _core_stats_sym_mf,
-    )
-    from radar_point_cloud_tracking_tpu.ops.stdbscan import _perm2d_and_inv
-
-    coords, times, valid = _scene(21)
-    es, et = jnp.float32(7.0), jnp.float32(2.0)
-    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
-                              jnp.asarray(valid), 7.0, 2.0, tile=64,
-                              pairs=True)
-    ids2d, _ = _perm2d_and_inv(idx, idx.valid)
-    v = np.asarray(idx.valid)
-    cap = max(8, idx.pair_a.shape[0] // 3)
-    want_m = np.asarray(neighbor_min_sweep(idx, ids2d, es, et))
-    _, m1 = _core_stats_sym(idx, es, et, cap=1 << 30, min_payload=ids2d)
-    _, mc = _core_stats_sym(idx, es, et, cap=cap, min_payload=ids2d)
-    assert np.array_equal(np.asarray(m1)[v], want_m[v])
-    assert np.array_equal(np.asarray(mc)[v], want_m[v])
-    _, _, mf1 = _core_stats_sym_mf(idx, es, et, 2, cap=1 << 30,
-                                   min_payload=ids2d)
-    _, _, mfc = _core_stats_sym_mf(idx, es, et, 2, cap=cap,
-                                   min_payload=ids2d)
-    assert np.array_equal(np.asarray(mf1)[v], want_m[v])
-    assert np.array_equal(np.asarray(mfc)[v], want_m[v])
-
-
-@pytest.mark.parametrize("ms,mf,bm", [
-    (6, 1, "always"),
-    (6, 2, "if_earlier"),
-    (40, 1, "always"),      # heavy non-core: residual scoped path dominates
-    (1, 1, "always"),       # all-core: empty residual scope
-    (12, 3, "if_earlier"),
-])
-def test_full_cluster_program_fused_round1_bit_equal(ms, mf, bm):
-    """cluster_index(fused_round1=True) must bit-match the unfused sym
-    program: labels AND cluster count, across core-density regimes
-    (including the all-resolved and the all-unresolved extremes)."""
-    from radar_point_cloud_tracking_tpu.ops.stdbscan import cluster_index
-
-    rng = np.random.default_rng(7 + ms)
-    n = 2600
-    coords = rng.uniform(0, 120, (n, 2)).astype(np.float32)
-    times = rng.integers(0, 8, n).astype(np.float32)
-    valid = rng.random(n) < 0.92
-    es, et = jnp.float32(5.0), jnp.float32(2.0)
-    ko = 2 if mf > 1 else 0
-    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
-                              jnp.asarray(valid), 5.0, 2.0, tile=128,
-                              pairs=True, directed=False)
-    la, ka = cluster_index(idx, es, et, ms, mf, ko, bm, 256,
-                           use_pallas=True, fused_round1=True)
-    lb, kb = cluster_index(idx, es, et, ms, mf, ko, bm, 256,
-                           use_pallas=True, fused_round1=False)
-    assert int(ka) == int(kb)
-    assert np.array_equal(np.asarray(la), np.asarray(lb))
