@@ -988,6 +988,33 @@ def _min_sweep_sym(
     return jnp.where(index.valid, out, INT_MAX)
 
 
+# presence-bit computation inside the mf stats kernel: True = build the
+# per-element offset bitmask once and OR-fold it by halves (one pass over
+# the (T, T) block); False = the original per-offset loop (2k+1 masked
+# any-reductions per side).  Module-level so the A/B harness can compare.
+_MF_OR_FOLD = True
+
+
+def _or_fold_rows(x):
+    """OR-reduce a (R, C) int32 block along axis=1 by halving (C a power
+    of two) -> (R,).  Halving slices stay at power-of-2 lane boundaries,
+    the layout Mosaic's own reductions use."""
+    c = x.shape[1]
+    while c > 1:
+        c //= 2
+        x = x[:, :c] | x[:, c:2 * c]
+    return x[:, 0]
+
+
+def _or_fold_cols(x):
+    """OR-reduce a (R, C) int32 block along axis=0 by halving -> (C,)."""
+    r = x.shape[0]
+    while r > 1:
+        r //= 2
+        x = x[:r, :] | x[r:2 * r, :]
+    return x[0, :]
+
+
 def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
                               has_z: bool = False):
     """Symmetric degree + frame-presence kernel (min_frames core test).
@@ -998,7 +1025,14 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
     where a row scatter-max IS the or-reduction) — one int32 row per pair
     instead of per-offset planes, keeping the partial buffer the same size
     as the other symmetric kernels' (~1 GB, not ~8.6 GB, at the
-    denoise-flagship scale).  n_offsets <= 15 (bitmask width)."""
+    denoise-flagship scale).  n_offsets <= 15 (bitmask width).
+
+    With ``_MF_OR_FOLD`` the per-offset presence loop (2k+1 masked
+    any-reductions per side, ~30 VPU ops/lane-pair at k=2) is replaced by
+    ONE per-element bitmask ``1 << (dti + k)`` and two halving OR-folds
+    (~8 ops/lane-pair); the b side's negated offsets are the a-side bits
+    REVERSED within the (2k+1)-bit field, recovered on the folded (T,)
+    row for free."""
     ki = n_offsets
     assert 2 * ki + 1 <= 31
 
@@ -1047,16 +1081,32 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
             deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(mask, axis=1,
                                                     dtype=jnp.int32)
             dti = jnp.round(dt).astype(jnp.int32)
-            bits = bits_ref[0, 0]
-            bits_b = jnp.zeros_like(bits)
-            for off in range(-ki, ki + 1):
-                hit_a = jnp.any(mask & (dti == off), axis=1)
-                bits = bits | jnp.where(hit_a, np.int32(1 << (off + ki)),
-                                        0).astype(jnp.int32)
-                # b-side presence: b queries a, so the offset negates
-                hit_b = jnp.any(mask & (dti == -off), axis=0)
-                bits_b = bits_b | jnp.where(
-                    hit_b, np.int32(1 << (off + ki)), 0).astype(jnp.int32)
+            if _MF_OR_FOLD:
+                # per-element bitmask once; masked-out lanes clamp their
+                # shift into range and are then zeroed by the where
+                sh = jnp.clip(dti + ki, 0, 2 * ki)
+                bm = jnp.where(mask,
+                               jnp.left_shift(jnp.int32(1), sh),
+                               jnp.int32(0))
+                bits = bits_ref[0, 0] | _or_fold_rows(bm)
+                colb = _or_fold_cols(bm)
+                # b-side presence: b queries a, so the offset negates —
+                # i.e. the (2k+1)-bit field reverses
+                bits_b = jnp.zeros_like(colb)
+                for k in range(2 * ki + 1):
+                    bits_b = bits_b | (((colb >> k) & 1) << (2 * ki - k))
+            else:
+                bits = bits_ref[0, 0]
+                bits_b = jnp.zeros((mask.shape[1],), jnp.int32)
+                for off in range(-ki, ki + 1):
+                    hit_a = jnp.any(mask & (dti == off), axis=1)
+                    bits = bits | jnp.where(
+                        hit_a, np.int32(1 << (off + ki)),
+                        0).astype(jnp.int32)
+                    hit_b = jnp.any(mask & (dti == -off), axis=0)
+                    bits_b = bits_b | jnp.where(
+                        hit_b, np.int32(1 << (off + ki)),
+                        0).astype(jnp.int32)
             bits_ref[0, 0] = bits
 
             @pl.when(a != b)
