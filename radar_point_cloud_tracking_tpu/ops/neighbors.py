@@ -296,6 +296,14 @@ def build_spatial_index(
     """
     if not directed and not pairs:
         raise ValueError("directed=False requires pairs=True")
+    if tile < 8 or (tile & (tile - 1)) != 0:
+        # the Pallas sweeps reduce (T, T) blocks by power-of-two halving
+        # (pallas_neighbors._or_fold_rows/_cols) and TPU lane layouts want
+        # power-of-two minor dims; a non-power-of-two tile would silently
+        # drop lanes from the fold, corrupting frame counts and labels
+        raise ValueError(
+            f"tile_size must be a power of two >= 8, got {tile} "
+            f"(try {1 << max(3, (tile - 1).bit_length())})")
     if cell_size is None:
         cell_size = eps_space
     n = coords.shape[0]

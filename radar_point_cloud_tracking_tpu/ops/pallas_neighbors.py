@@ -1000,6 +1000,7 @@ def _or_fold_rows(x):
     of two) -> (R,).  Halving slices stay at power-of-2 lane boundaries,
     the layout Mosaic's own reductions use."""
     c = x.shape[1]
+    assert (c & (c - 1)) == 0, f"or-fold needs power-of-two width, got {c}"
     while c > 1:
         c //= 2
         x = x[:, :c] | x[:, c:2 * c]
@@ -1009,6 +1010,7 @@ def _or_fold_rows(x):
 def _or_fold_cols(x):
     """OR-reduce a (R, C) int32 block along axis=0 by halving -> (C,)."""
     r = x.shape[0]
+    assert (r & (r - 1)) == 0, f"or-fold needs power-of-two height, got {r}"
     while r > 1:
         r //= 2
         x = x[:r, :] | x[r:2 * r, :]
@@ -1082,10 +1084,14 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
                                                     dtype=jnp.int32)
             dti = jnp.round(dt).astype(jnp.int32)
             if _MF_OR_FOLD:
-                # per-element bitmask once; masked-out lanes clamp their
-                # shift into range and are then zeroed by the where
+                # per-element bitmask once; a lane whose ROUNDED offset
+                # falls outside [-ki, ki] (possible with non-integer times
+                # when frac(eps_time) >= 0.5) gets NO bit, matching the
+                # per-offset loop / directed / XLA stats paths — clamping
+                # it to a boundary bit would diverge per dispatch path
+                inr = mask & (jnp.abs(dti) <= ki)
                 sh = jnp.clip(dti + ki, 0, 2 * ki)
-                bm = jnp.where(mask,
+                bm = jnp.where(inr,
                                jnp.left_shift(jnp.int32(1), sh),
                                jnp.int32(0))
                 bits = bits_ref[0, 0] | _or_fold_rows(bm)

@@ -236,6 +236,54 @@ def test_sym_stats_min_frames_matches_directed(seed):
     assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
 
 
+@pytest.mark.parametrize("or_fold", [False, True])
+def test_sym_stats_mf_fractional_times_out_of_range_offset(or_fold):
+    """Non-integer times with frac(eps_time) >= 0.5: an in-mask neighbor
+    whose ROUNDED offset falls outside [-ki, ki] (dt=1.5, et=1.5, ki=1
+    rounds to 2) must contribute NO presence bit — matching the XLA stats
+    path's per-offset equality test — on BOTH mf kernel variants, so the
+    same input cannot label differently per dispatch path."""
+    from radar_point_cloud_tracking_tpu.ops import pallas_neighbors as pn
+
+    rng = np.random.default_rng(7)
+    n = 200
+    coords = rng.normal(0.0, 4.0, (n, 2)).astype(np.float32)
+    # times on a 1.5 grid: dt in {0, 1.5, 3.0, ...}; et=1.5 admits dt=1.5
+    # into the mask but round(1.5) = 2 > ki = 1
+    times = (rng.integers(0, 4, n) * 1.5).astype(np.float32)
+    valid = np.ones((n,), bool)
+    es, et = jnp.float32(6.0), jnp.float32(1.5)
+    idx = build_spatial_index(jnp.asarray(coords), jnp.asarray(times),
+                              jnp.asarray(valid), 6.0, 1.5, tile=64,
+                              pairs=True)
+    want_d, want_f = neighbor_core_stats(idx, es, et, n_offsets=1)
+    old = pn._MF_OR_FOLD
+    try:
+        pn._MF_OR_FOLD = or_fold
+        pn._core_stats_sym_mf.clear_cache()
+        got_d, got_f = pn.core_stats_pallas_sym_mf(idx, es, et, 1)
+    finally:
+        pn._MF_OR_FOLD = old
+        pn._core_stats_sym_mf.clear_cache()
+    v = np.asarray(idx.valid)
+    assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
+    assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
+
+
+def test_build_spatial_index_rejects_non_pow2_tile():
+    """tile_size reaches the Pallas or-folds, which reduce (T, T) blocks
+    by power-of-two halving — a non-power-of-two tile would silently drop
+    lanes (wrong frame counts, wrong labels), so the build must fail fast
+    with the remedy instead."""
+    coords, times, valid = _scene(5, n=100)
+    args = (jnp.asarray(coords), jnp.asarray(times), jnp.asarray(valid),
+            7.0, 2.0)
+    with pytest.raises(ValueError, match="power of two"):
+        build_spatial_index(*args, tile=768)
+    with pytest.raises(ValueError, match="power of two"):
+        build_spatial_index(*args, tile=4)
+
+
 def test_smem_budget_rounds_width_to_chunks(monkeypatch):
     """Past SYM_PAIR_SMEM_BUDGET the build keeps the pair list but rounds
     its width up to a whole number of SMEM-sized chunks (the symmetric

@@ -8,6 +8,12 @@ Whole-program wall both ways, labels bit-equality, and the fused path's
 stage decomposition: fused-stats cost vs plain stats, residual scope
 (unresolved points / scoped tiles / scoped pairs), scoped-sweep cost.
 
+ARCHIVED RECORD — cannot run at HEAD.  The fused round-1 path was
+chip-refuted at both scales and removed per flip-or-remove (commit
+6b0837b; results in .chip_logs/ab_fused_round1_{denoise,tracker}_r4.log
+and ROUND4.md).  To reproduce, check out the last commit that carries the
+fused path: ``git checkout d92f0bf``.
+
 Usage: python tools/ab_fused_round1.py [tracker|denoise] [frames=N] [tile=N]
 """
 import sys
@@ -17,6 +23,13 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+_PINNED = "d92f0bf"
+sys.exit(
+    f"ab_fused_round1.py is an archived record: the fused round-1 path was "
+    f"removed at HEAD (commit 6b0837b) after losing chip A/Bs at both "
+    f"scales. Reproduce with: git checkout {_PINNED}  "
+    f"(results: .chip_logs/ab_fused_round1_*.log, ROUND4.md)")
 
 import jax
 import jax.numpy as jnp
