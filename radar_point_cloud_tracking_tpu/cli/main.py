@@ -308,12 +308,25 @@ def track(ctx, data_dir: Path, output_dir: Path, max_frames: int,
 @click.option("--parse-workers", type=int, default=None,
               help="Host CSV parse thread count (0 = auto from CPU count; "
                    "1 = sequential, the reference's --no-parallel).")
+@click.option("--checkpoint-dir", type=click.Path(path_type=Path),
+              default=None,
+              help="Persist the cluster-stage artifact here once clustering "
+                   "completes (everything downstream is a pure function of "
+                   "it).")
+@click.option("--resume", is_flag=True,
+              help="Resume from --checkpoint-dir: skips ingest + clustering "
+                   "and regenerates the outputs byte-identically to an "
+                   "uninterrupted run.")
+@click.option("--interrupt-after-cluster", is_flag=True, hidden=True,
+              help="Testing/ops hook: simulate preemption right after the "
+                   "cluster-stage checkpoint lands, before outputs.")
 @click.pass_context
 def denoise(ctx, data_dir: Path, output_dir: Path, eps_space: float,
             eps_time: float, min_samples: int, min_frames: int,
             max_frames: int, no_viz: bool, skip_gif: bool,
             devices: int, low_memory: bool,
-            parse_workers: Optional[int]) -> None:
+            parse_workers: Optional[int], checkpoint_dir: Optional[Path],
+            resume: bool, interrupt_after_cluster: bool) -> None:
     """Run the ST-DBSCAN denoising pipeline."""
     from ..models.denoiser import run_denoising_pipeline
 
@@ -322,7 +335,8 @@ def denoise(ctx, data_dir: Path, output_dir: Path, eps_space: float,
         min_samples=min_samples, min_frames=min_frames,
         max_frames=max_frames, no_viz=no_viz, skip_gif=skip_gif,
         config=_load_config(ctx), devices=devices, low_memory=low_memory,
-        parse_workers=parse_workers)
+        parse_workers=parse_workers, checkpoint_dir=checkpoint_dir,
+        resume=resume, interrupt_after_cluster=interrupt_after_cluster)
 
 
 @cli.command("fuse")

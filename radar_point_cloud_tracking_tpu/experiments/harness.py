@@ -73,15 +73,22 @@ def run_experiment(
 
     start = time.time()
     if subprocess_mode:
-        cmd = [sys.executable, "-m", "radar_point_cloud_tracking_tpu.cli.main",
-               "denoise", "--data-dir", str(data_dir),
-               "--output-dir", str(out_dir),
-               "--eps-space", str(spec.eps_space),
-               "--eps-time", str(spec.eps_time),
-               "--min-samples", str(spec.min_samples),
-               "--min-frames", str(spec.min_frames),
-               "--max-frames", str(max_frames),
-               "--skip-gif"]
+        cmd = [sys.executable, "-m", "radar_point_cloud_tracking_tpu.cli.main"]
+        if config is not None:
+            # the child re-reads the config from disk (its own process
+            # can't see this one's PipelineConfig object)
+            cfg_path = Path(output_root) / f"{out_name}_config.yaml"
+            cfg_path.parent.mkdir(parents=True, exist_ok=True)
+            config.to_yaml(cfg_path)
+            cmd += ["-c", str(cfg_path)]
+        cmd += ["denoise", "--data-dir", str(data_dir),
+                "--output-dir", str(out_dir),
+                "--eps-space", str(spec.eps_space),
+                "--eps-time", str(spec.eps_time),
+                "--min-samples", str(spec.min_samples),
+                "--min-frames", str(spec.min_frames),
+                "--max-frames", str(max_frames),
+                "--skip-gif"]
         try:
             subprocess.run(cmd, timeout=timeout_s, check=False,
                            capture_output=not verbose)

@@ -22,6 +22,7 @@ from ..core.writers import write_ply_arrays
 from ..ops.cluster_stats import per_frame_cluster_stats
 from ..ops.colors import label_palette_tab20
 from ..ops.stdbscan import st_dbscan_device
+from ..utils import checkpoint as _ckpt
 from ..utils.profiling import StageTimer
 from ..utils.timestamps import discover_files, group_files_by_frame
 from ..utils.transfer import pull_labels, pull_prefix
@@ -98,6 +99,81 @@ def _global_cluster_table(points, intensity, labels, valid, num_clusters):
                 "mean_intensity": float(cmi[k]),
             })
     return rows
+
+
+def _save_denoise_stage(checkpoint_dir: Path, result: DenoiseResult,
+                        params: tuple) -> None:
+    """Persist the cluster stage (the denoiser's one whole-sequence stage —
+    eps_time couples frames, so it checkpoints as ONE artifact once done;
+    SURVEY §5 stage-artifact model, the analog of the reference's binary-PLY
+    stage outputs at stdbscan_denoising_pipeline.py:986-1013).  Everything
+    downstream (stats CSV, PLYs, plots, GIF) is a pure function of it."""
+    n = result.n_points
+    _ckpt.save_stage_artifact(
+        Path(checkpoint_dir) / _ckpt.DENOISE_STAGE_FILE,
+        points=np.asarray(result.points_dev[:n]),
+        labels=np.asarray(result.labels_dev[:n]),
+        num_clusters=np.asarray(result.num_clusters, np.int64),
+        frame_ids=np.asarray(result.frame_ids, np.int32),
+        params=np.asarray(params, np.float64))
+
+
+def _result_from_denoise_artifact(checkpoint_dir: Path,
+                                  expected_params: tuple,
+                                  timer: StageTimer) -> DenoiseResult:
+    """Rebuild a DenoiseResult from a denoise_stage.npz artifact, skipping
+    ingest + clustering.  Stats and the cluster table are deterministic
+    functions of (points, labels), recomputed at the same padded capacity
+    the original run used (_quarter_pow2), so every downstream artifact is
+    byte-identical to the uninterrupted run (tests/test_checkpoint.py)."""
+    from ..ops.geometry import PAD_COORD
+
+    with timer.stage("load_checkpoint"):
+        art = _ckpt.load_stage_artifact(
+            Path(checkpoint_dir) / _ckpt.DENOISE_STAGE_FILE)
+        saved = tuple(art["params"])
+        if tuple(float(p) for p in expected_params) != saved:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} was written with "
+                f"(eps_space, eps_time, min_samples, min_frames)={saved}; "
+                f"resume requested {tuple(expected_params)} — rerun without "
+                "--resume or match the parameters")
+        pts_np = art["points"]
+        n_points = int(pts_np.shape[0])
+        num_clusters = int(art["num_clusters"])
+        capacity = _quarter_pow2(n_points)
+        pad = capacity - n_points
+        points = jnp.concatenate([
+            jnp.asarray(pts_np, jnp.float32),
+            jnp.full((pad, pts_np.shape[1]), PAD_COORD, jnp.float32)])
+        labels = jnp.concatenate([
+            jnp.asarray(art["labels"], jnp.int32),
+            jnp.full((pad,), -1, jnp.int32)])
+
+    with timer.stage("stats"):
+        pvalid = jnp.arange(capacity) < n_points
+        sig = int(jnp.sum((labels >= 0) & pvalid))
+        noise = n_points - sig
+        stats = {
+            "total_points": n_points,
+            "noise_points": noise,
+            "signal_points": sig,
+            "num_clusters": num_clusters,
+            "noise_reduction_pct": 100.0 * noise / max(n_points, 1),
+        }
+        cluster_table = _global_cluster_table(
+            points[:, :2], points[:, 2], labels, pvalid, num_clusters)
+
+    return DenoiseResult(
+        points_dev=points,
+        labels_dev=labels,
+        n_points=n_points,
+        num_clusters=num_clusters,
+        stats=stats,
+        cluster_table=cluster_table,
+        frame_ids=np.asarray(art["frame_ids"], np.int32),
+        timings=timer.report(),
+    )
 
 
 def denoise_frames(
@@ -309,6 +385,9 @@ def run_denoising_pipeline(
     devices: int = 0,
     low_memory: bool = False,
     parse_workers: Optional[int] = None,
+    checkpoint_dir: Optional[Path] = None,
+    resume: bool = False,
+    interrupt_after_cluster: bool = False,
 ) -> DenoiseResult:
     """Full denoising pipeline from a gain_XX tree to artifacts.
 
@@ -321,10 +400,22 @@ def run_denoising_pipeline(
     streaming parse window either way (the TPU-design equivalence of the
     reference's free-and-reload), low_memory additionally frees the padded
     device ingest buffers after repack, and parse_workers=1 disables the
-    parse thread pool (the ProcessPoolExecutor analog)."""
+    parse thread pool (the ProcessPoolExecutor analog).
+
+    ``checkpoint_dir`` persists the cluster stage once done (it is the
+    denoiser's one whole-sequence stage; everything after it is a pure
+    function of the artifact), and works with sharded runs too — the
+    artifact is the gathered host-side result, identical either way.
+    ``resume`` skips ingest + clustering by reloading it; downstream
+    artifacts are byte-identical (tests/test_checkpoint.py).
+    ``interrupt_after_cluster`` is the testing/ops preemption hook: raise
+    right after the artifact lands, before any output is written."""
     cfg = config or PipelineConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    params = (eps_space, eps_time, min_samples, min_frames)
+    if resume and checkpoint_dir is None:
+        raise ValueError("--resume requires --checkpoint-dir")
 
     def log(msg):
         if verbose:
@@ -333,6 +424,14 @@ def run_denoising_pipeline(
     log("=" * 60)
     log("ST-DBSCAN RADAR POINT CLOUD DENOISING PIPELINE (TPU)")
     log("=" * 60)
+
+    if resume:
+        log("\n[1-4/5] Resuming from checkpoint (ingest + clustering "
+            "skipped)...")
+        result = _result_from_denoise_artifact(
+            checkpoint_dir, params, StageTimer(verbose=verbose))
+        _write_denoise_outputs(result, output_dir, no_viz, skip_gif, log)
+        return result
 
     log("\n[1/5] Discovering data files...")
     gain_files = discover_files(Path(data_dir))
@@ -372,6 +471,23 @@ def run_denoising_pipeline(
     log(f"    Signal (kept):     {st['signal_points']:,}")
     log(f"    Clusters found:    {st['num_clusters']}")
 
+    if checkpoint_dir is not None:
+        _save_denoise_stage(checkpoint_dir, result, params)
+        log(f"  Checkpoint saved to: {checkpoint_dir}")
+        if interrupt_after_cluster:
+            raise _ckpt.CheckpointInterrupt(len(frames), checkpoint_dir)
+
+    _write_denoise_outputs(result, output_dir, no_viz, skip_gif, log)
+    return result
+
+
+def _write_denoise_outputs(result: DenoiseResult, output_dir: Path,
+                           no_viz: bool, skip_gif: bool, log) -> None:
+    """Stage [5/5]: every denoiser artifact — binary PLYs, stats CSV,
+    clusters CSV, plots/GIF — as a pure function of the clustered result
+    (stdbscan_denoising_pipeline.py:986-1041), shared by the live and the
+    resumed-from-checkpoint paths so resume is byte-identical."""
+    st = result.stats
     log("\n[5/5] Saving results...")
     sig = result.signal_mask
     pts = result.points
@@ -405,4 +521,3 @@ def run_denoising_pipeline(
 
     log("\nPIPELINE COMPLETE")
     log(f"Results saved to: {output_dir}")
-    return result

@@ -347,11 +347,12 @@ class TrackingPipeline:
         """
         lf = self.config.land_filter
         sharded = self.config.device.num_devices > 1
-        if checkpoint_dir is not None and sharded:
+        if interrupt_after_frames and sharded:
             raise ValueError(
-                "--checkpoint-dir is a single-chip feature; the sharded "
-                "pipeline runs as one program and has no mid-scan snapshot "
-                "point (drop --devices or --checkpoint-dir)")
+                "--interrupt-after-frames needs the chunked single-chip "
+                "tracking scan; the sharded pipeline runs clustering + "
+                "tracking as ONE program with no mid-scan snapshot point "
+                "(drop --devices or --interrupt-after-frames)")
         use_prefilter = (not skip_land_filter and lf.enabled
                          and lf.host_prefilter and loader.sparse)
         run = (self.run_on_frames_sharded if sharded else
@@ -384,6 +385,26 @@ class TrackingPipeline:
                 ingested, eps_space=eps_space, eps_time=eps_time,
                 min_samples=min_samples, skip_land_filter=skip_land_filter)
         result.timings = {"ingest": t_ingest, **result.timings}
+        if checkpoint_dir is not None and sharded:
+            # the sharded program computes clustering + tracking in ONE
+            # dispatch, so the snapshot pair lands once, when it completes:
+            # the cluster-stage artifact (gathered points/labels — identical
+            # to the single-chip stage, tests/test_parallel.py) plus the
+            # final tracker state at cursor == num_frames.  A later --resume
+            # run (any device count) re-emits every artifact byte-
+            # identically without re-clustering or re-tracking.
+            # checkpoint_every has no effect here: there is no mid-scan
+            # snapshot point inside one compiled program.
+            f = ingested.num_frames
+            self._save_cluster_stage(
+                checkpoint_dir, result.points_dev, result.labels_dev,
+                result.n_points, result.num_clusters, ingested.frame_ids,
+                f, result.land_cells, result.land_points_removed,
+                (float(eps_space), float(eps_time), float(min_samples)))
+            _ckpt.save_tracker_snapshot(
+                Path(checkpoint_dir),
+                jax.tree_util.tree_map(np.asarray, result.state), f,
+                jax.tree_util.tree_map(np.asarray, result.records_dev))
         return result
 
     def run_on_frames_sharded(

@@ -988,13 +988,6 @@ def _min_sweep_sym(
     return jnp.where(index.valid, out, INT_MAX)
 
 
-# presence-bit computation inside the mf stats kernel: True = build the
-# per-element offset bitmask once and OR-fold it by halves (one pass over
-# the (T, T) block); False = the original per-offset loop (2k+1 masked
-# any-reductions per side).  Module-level so the A/B harness can compare.
-_MF_OR_FOLD = True
-
-
 def _or_fold_rows(x):
     """OR-reduce a (R, C) int32 block along axis=1 by halving (C a power
     of two) -> (R,).  Halving slices stay at power-of-2 lane boundaries,
@@ -1029,12 +1022,16 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
     as the other symmetric kernels' (~1 GB, not ~8.6 GB, at the
     denoise-flagship scale).  n_offsets <= 15 (bitmask width).
 
-    With ``_MF_OR_FOLD`` the per-offset presence loop (2k+1 masked
-    any-reductions per side, ~30 VPU ops/lane-pair at k=2) is replaced by
-    ONE per-element bitmask ``1 << (dti + k)`` and two halving OR-folds
-    (~8 ops/lane-pair); the b side's negated offsets are the a-side bits
-    REVERSED within the (2k+1)-bit field, recovered on the folded (T,)
-    row for free."""
+    Presence bits are computed as ONE per-element bitmask ``1 << (dti + k)``
+    plus two halving OR-folds (~8 VPU ops/lane-pair); the b side's negated
+    offsets are the a-side bits REVERSED within the (2k+1)-bit field,
+    recovered on the folded (T,) row for free.  This replaced a per-offset
+    loop (2k+1 masked any-reductions per side, ~30 ops/lane-pair at k=2)
+    after chip A/Bs at two denoise scales showed it bit-equal and decisively
+    faster (f100: stats 3639->2292 ms, whole cluster program 12798->11450
+    ms; f25: 698->443 / 2518->2264 ms — .chip_logs/ab_mf_orfold_r5_*.log);
+    the loop was removed per flip-or-remove (reproduce at commit 9bf885b,
+    tools/archive note)."""
     ki = n_offsets
     assert 2 * ki + 1 <= 31
 
@@ -1083,37 +1080,23 @@ def _make_sym_stats_mf_kernel(p_pad: int, n_offsets: int,
             deg_ref[0, 0] = deg_ref[0, 0] + jnp.sum(mask, axis=1,
                                                     dtype=jnp.int32)
             dti = jnp.round(dt).astype(jnp.int32)
-            if _MF_OR_FOLD:
-                # per-element bitmask once; a lane whose ROUNDED offset
-                # falls outside [-ki, ki] (possible with non-integer times
-                # when frac(eps_time) >= 0.5) gets NO bit, matching the
-                # per-offset loop / directed / XLA stats paths — clamping
-                # it to a boundary bit would diverge per dispatch path
-                inr = mask & (jnp.abs(dti) <= ki)
-                sh = jnp.clip(dti + ki, 0, 2 * ki)
-                bm = jnp.where(inr,
-                               jnp.left_shift(jnp.int32(1), sh),
-                               jnp.int32(0))
-                bits = bits_ref[0, 0] | _or_fold_rows(bm)
-                colb = _or_fold_cols(bm)
-                # b-side presence: b queries a, so the offset negates —
-                # i.e. the (2k+1)-bit field reverses
-                bits_b = jnp.zeros_like(colb)
-                for k in range(2 * ki + 1):
-                    bits_b = bits_b | (((colb >> k) & 1) << (2 * ki - k))
-            else:
-                bits = bits_ref[0, 0]
-                bits_b = jnp.zeros((mask.shape[1],), jnp.int32)
-                for off in range(-ki, ki + 1):
-                    hit_a = jnp.any(mask & (dti == off), axis=1)
-                    bits = bits | jnp.where(
-                        hit_a, np.int32(1 << (off + ki)),
-                        0).astype(jnp.int32)
-                    hit_b = jnp.any(mask & (dti == -off), axis=0)
-                    bits_b = bits_b | jnp.where(
-                        hit_b, np.int32(1 << (off + ki)),
-                        0).astype(jnp.int32)
-            bits_ref[0, 0] = bits
+            # per-element bitmask once; a lane whose ROUNDED offset
+            # falls outside [-ki, ki] (possible with non-integer times
+            # when frac(eps_time) >= 0.5) gets NO bit, matching the
+            # directed / XLA stats paths — clamping it to a boundary bit
+            # would diverge per dispatch path
+            inr = mask & (jnp.abs(dti) <= ki)
+            sh = jnp.clip(dti + ki, 0, 2 * ki)
+            bm = jnp.where(inr,
+                           jnp.left_shift(jnp.int32(1), sh),
+                           jnp.int32(0))
+            bits_ref[0, 0] = bits_ref[0, 0] | _or_fold_rows(bm)
+            colb = _or_fold_cols(bm)
+            # b-side presence: b queries a, so the offset negates —
+            # i.e. the (2k+1)-bit field reverses
+            bits_b = jnp.zeros_like(colb)
+            for k in range(2 * ki + 1):
+                bits_b = bits_b | (((colb >> k) & 1) << (2 * ki - k))
 
             @pl.when(a != b)
             def _():

@@ -30,12 +30,18 @@ from ..ops.tracking import TrackerState
 
 __all__ = ["CheckpointInterrupt", "save_tracker_state", "load_tracker_state",
            "save_stage_artifact", "load_stage_artifact",
-           "CLUSTER_STAGE_FILE", "TRACKER_STATE_FILE", "TRACKER_RECORDS_FILE",
+           "CLUSTER_STAGE_FILE", "DENOISE_STAGE_FILE", "TRACKER_STATE_FILE",
+           "TRACKER_RECORDS_FILE",
            "save_tracker_snapshot", "load_tracker_snapshot"]
 
 _STATE_FIELDS = TrackerState._fields
 
 CLUSTER_STAGE_FILE = "cluster_stage.npz"
+# the denoiser's cluster-stage artifact (models/denoiser.py): the analog of
+# the reference denoiser's binary-PLY stage outputs
+# (stdbscan_denoising_pipeline.py:986-1013) — everything downstream
+# (stats CSV, PLYs, plots/GIF) is a pure function of it
+DENOISE_STAGE_FILE = "denoise_stage.npz"
 TRACKER_STATE_FILE = "tracker_state.npz"
 TRACKER_RECORDS_FILE = "tracker_records.npz"
 
@@ -49,7 +55,7 @@ class CheckpointInterrupt(RuntimeError):
         self.frames_done = frames_done
         self.checkpoint_dir = Path(checkpoint_dir)
         super().__init__(
-            f"tracking interrupted after {frames_done} frames; resume from "
+            f"pipeline interrupted after {frames_done} frames; resume from "
             f"{checkpoint_dir}")
 
 

@@ -249,6 +249,169 @@ def test_resume_with_visualization(moving_dataset, tmp_path):
     assert viz.exists() and list(viz.glob("*.png"))
 
 
+def test_sharded_checkpoint_then_resume(moving_dataset, tmp_path):
+    """A sharded run with --checkpoint-dir snapshots the (gathered) cluster
+    stage + final tracker state once its single program completes; --resume
+    then re-emits every artifact byte-identically — to the sharded run AND
+    to a plain single-chip run (the sharded engine exact-matches it)."""
+    out_a = tmp_path / "single"
+    run_tracking_pipeline(moving_dataset, out_a, config=_cfg(), **_run_kw())
+
+    cfg = _cfg()
+    cfg.device.num_devices = 4
+    out_b = tmp_path / "sharded"
+    ck = tmp_path / "ckpt"
+    run_tracking_pipeline(moving_dataset, out_b, config=cfg,
+                          checkpoint_dir=ck, **_run_kw())
+    assert (ck / ckpt.CLUSTER_STAGE_FILE).exists()
+    assert (ck / ckpt.TRACKER_STATE_FILE).exists()
+
+    out_c = tmp_path / "resumed"
+    run_tracking_pipeline(moving_dataset, out_c, config=_cfg(),
+                          checkpoint_dir=ck, resume=True, **_run_kw())
+    for name in CSV_NAMES:
+        ref = (out_a / name).read_bytes()
+        assert ref == (out_b / name).read_bytes(), name
+        assert ref == (out_c / name).read_bytes(), name
+
+
+def test_sharded_interrupt_hook_rejected(moving_dataset, tmp_path):
+    """The mid-scan preemption hook needs the chunked single-chip scan; the
+    sharded one-program pipeline rejects it with an actionable error."""
+    cfg = _cfg()
+    cfg.device.num_devices = 4
+    with pytest.raises(ValueError, match="interrupt-after-frames"):
+        run_tracking_pipeline(moving_dataset, tmp_path / "o", config=cfg,
+                              checkpoint_dir=tmp_path / "ck",
+                              interrupt_after_frames=3, **_run_kw())
+
+
+# ---------------------------------------------------------------------------
+# denoiser: cluster-stage artifact checkpoint + byte-identical resume
+# ---------------------------------------------------------------------------
+
+DENOISE_ARTIFACTS = ("denoising_stats.csv", "clusters.csv",
+                     "denoised_point_cloud.ply", "raw_point_cloud.ply")
+
+
+def _denoise_kw():
+    return dict(min_samples=5, min_frames=2, intensity_threshold=10.0,
+                no_viz=True, skip_gif=True, max_frames=0, verbose=False)
+
+
+def test_denoise_interrupt_resume_byte_identical(moving_dataset, tmp_path):
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    out_a = tmp_path / "uninterrupted"
+    res_a = run_denoising_pipeline(moving_dataset, out_a, config=_cfg(),
+                                   **_denoise_kw())
+    assert res_a.num_clusters >= 1  # non-trivial scene
+
+    out_b = tmp_path / "resumed"
+    ck = tmp_path / "ckpt"
+    with pytest.raises(ckpt.CheckpointInterrupt):
+        run_denoising_pipeline(moving_dataset, out_b, config=_cfg(),
+                               checkpoint_dir=ck,
+                               interrupt_after_cluster=True, **_denoise_kw())
+    assert (ck / ckpt.DENOISE_STAGE_FILE).exists()
+    # the interrupt fired before any artifact was written
+    assert not (out_b / "denoising_stats.csv").exists()
+
+    res_b = run_denoising_pipeline(moving_dataset, out_b, config=_cfg(),
+                                   checkpoint_dir=ck, resume=True,
+                                   **_denoise_kw())
+    # resume skipped ingest + clustering
+    assert "st_dbscan" not in res_b.timings
+    assert "load_checkpoint" in res_b.timings
+    assert res_b.stats == res_a.stats
+    for name in DENOISE_ARTIFACTS:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name
+
+
+def test_denoise_resume_param_mismatch_raises(moving_dataset, tmp_path):
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    ck = tmp_path / "ckpt"
+    run_denoising_pipeline(moving_dataset, tmp_path / "o1", config=_cfg(),
+                           checkpoint_dir=ck, **_denoise_kw())
+    kw = _denoise_kw()
+    kw["min_frames"] = 3
+    with pytest.raises(ValueError, match="min_frames"):
+        run_denoising_pipeline(moving_dataset, tmp_path / "o2", config=_cfg(),
+                               checkpoint_dir=ck, resume=True, **kw)
+
+
+def test_denoise_resume_without_checkpoint_dir_raises(moving_dataset,
+                                                      tmp_path):
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    with pytest.raises(ValueError, match="checkpoint-dir"):
+        run_denoising_pipeline(moving_dataset, tmp_path / "o", config=_cfg(),
+                               resume=True, **_denoise_kw())
+
+
+def test_denoise_resume_with_viz(moving_dataset, tmp_path):
+    """A resumed run can render the denoise plots (the artifact carries
+    everything the viz path reads: points incl. frame ids, labels)."""
+    pytest.importorskip("matplotlib")
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    ck = tmp_path / "ckpt"
+    run_denoising_pipeline(moving_dataset, tmp_path / "o1", config=_cfg(),
+                           checkpoint_dir=ck, **_denoise_kw())
+    out = tmp_path / "o2"
+    kw = _denoise_kw()
+    kw["no_viz"] = False
+    run_denoising_pipeline(moving_dataset, out, config=_cfg(),
+                           checkpoint_dir=ck, resume=True, **kw)
+    assert list(out.glob("*.png"))
+
+
+def test_denoise_cli_checkpoint_resume(moving_dataset, tmp_path):
+    """CLI wiring: denoise --checkpoint-dir + hidden
+    --interrupt-after-cluster, then denoise --resume, byte-identical to a
+    plain CLI run."""
+    from click.testing import CliRunner
+
+    from radar_point_cloud_tracking_tpu.cli.main import cli
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        "radar:\n  num_echo_columns: 64\n"
+        "clustering:\n  tile_size: 128\n")
+    runner = CliRunner()
+    base = ["-c", str(cfg_path), "denoise", "--data-dir",
+            str(moving_dataset), "--min-samples", "5", "--min-frames", "2",
+            "--max-frames", "0", "--no-viz", "--skip-gif"]
+    out_a = tmp_path / "plain"
+    r = runner.invoke(cli, base + ["--output-dir", str(out_a)])
+    assert r.exit_code == 0, r.output
+
+    out_b = tmp_path / "ckpt_run"
+    ck = tmp_path / "ck"
+    r = runner.invoke(cli, base + [
+        "--output-dir", str(out_b), "--checkpoint-dir", str(ck),
+        "--interrupt-after-cluster"])
+    assert r.exit_code != 0  # simulated preemption
+    assert isinstance(r.exception, ckpt.CheckpointInterrupt)
+
+    r = runner.invoke(cli, base + [
+        "--output-dir", str(out_b), "--checkpoint-dir", str(ck), "--resume"])
+    assert r.exit_code == 0, r.output
+    for name in DENOISE_ARTIFACTS:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name
+
+
 def test_track_cli_checkpoint_resume(moving_dataset, tmp_path):
     """CLI wiring: track --checkpoint-dir + hidden --interrupt-after-frames,
     then track --resume, byte-identical to a plain CLI run."""

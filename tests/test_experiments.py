@@ -61,6 +61,62 @@ def test_run_experiments_full_sweep(tmp_path):
     assert r"\begin{document}" in tex and "Noise" in tex
 
 
+def test_subprocess_mode_timeout_kills_and_flags(tmp_path, monkeypatch):
+    """The reference harness kills runs after a timeout and records the
+    fact (run_experiments.py:154-159): subprocess_mode with a timeout the
+    child cannot possibly meet must set row['timeout'] and leave the stats
+    fields at their zero defaults (no stats file was ever written)."""
+    import time
+
+    from radar_point_cloud_tracking_tpu.experiments.harness import (
+        run_experiment)
+
+    cfg = SceneConfig(num_frames=2, num_rows=48, num_bins=32, seed=4)
+    data_dir = generate_scene_dataset(tmp_path / "scene", cfg)
+    # the child must never touch the TPU tunnel (killing a tunnel-holding
+    # process poisons it): force the CPU backend through the inherited env
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    spec = ExperimentSpec("hang", min_samples=5)
+    t0 = time.time()
+    row = run_experiment(spec, data_dir, tmp_path / "exp", max_frames=2,
+                         subprocess_mode=True, timeout_s=2, verbose=False)
+    assert row["timeout"] is True
+    assert time.time() - t0 < 60  # the child was killed, not waited out
+    assert row["total_points"] == 0 and row["num_clusters"] == 0
+    assert row["elapsed_seconds"] >= 2
+
+
+def test_subprocess_mode_completed_run_reads_stats_back(tmp_path,
+                                                        monkeypatch):
+    """A completed subprocess run's stats are read back from its
+    denoising_stats.csv (the reference's read-back contract,
+    run_experiments.py:168-189)."""
+    from radar_point_cloud_tracking_tpu.experiments.harness import (
+        run_experiment)
+
+    cfg = SceneConfig(num_frames=3, num_rows=96, num_bins=48, seed=2,
+                      num_boats=1, num_buoys=1, noise_rate=0.01)
+    data_dir = generate_scene_dataset(tmp_path / "scene", cfg)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    # the child parses the dataset with the default 1024-column radar
+    # config unless the harness ships it one
+    pcfg = PipelineConfig()
+    pcfg.radar.num_echo_columns = 48
+    pcfg.clustering.tile_size = 128
+
+    spec = ExperimentSpec("ok", min_samples=5, min_frames=2)
+    row = run_experiment(spec, data_dir, tmp_path / "exp", max_frames=3,
+                         config=pcfg, subprocess_mode=True, timeout_s=600,
+                         verbose=False)
+    assert "timeout" not in row
+    assert row["total_points"] > 0
+    assert row["signal_points"] + row["noise_points"] == row["total_points"]
+    assert row["elapsed_seconds"] > 0
+
+
 def test_tracker_checkpoint_resume(tmp_path):
     """Resuming a split sequence reproduces the unsplit run exactly."""
     from radar_point_cloud_tracking_tpu.ops.tracking import (

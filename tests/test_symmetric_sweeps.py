@@ -236,13 +236,12 @@ def test_sym_stats_min_frames_matches_directed(seed):
     assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
 
 
-@pytest.mark.parametrize("or_fold", [False, True])
-def test_sym_stats_mf_fractional_times_out_of_range_offset(or_fold):
+def test_sym_stats_mf_fractional_times_out_of_range_offset():
     """Non-integer times with frac(eps_time) >= 0.5: an in-mask neighbor
     whose ROUNDED offset falls outside [-ki, ki] (dt=1.5, et=1.5, ki=1
     rounds to 2) must contribute NO presence bit — matching the XLA stats
-    path's per-offset equality test — on BOTH mf kernel variants, so the
-    same input cannot label differently per dispatch path."""
+    path's per-offset equality test — so the same input cannot label
+    differently per dispatch path."""
     from radar_point_cloud_tracking_tpu.ops import pallas_neighbors as pn
 
     rng = np.random.default_rng(7)
@@ -257,14 +256,7 @@ def test_sym_stats_mf_fractional_times_out_of_range_offset(or_fold):
                               jnp.asarray(valid), 6.0, 1.5, tile=64,
                               pairs=True)
     want_d, want_f = neighbor_core_stats(idx, es, et, n_offsets=1)
-    old = pn._MF_OR_FOLD
-    try:
-        pn._MF_OR_FOLD = or_fold
-        pn._core_stats_sym_mf.clear_cache()
-        got_d, got_f = pn.core_stats_pallas_sym_mf(idx, es, et, 1)
-    finally:
-        pn._MF_OR_FOLD = old
-        pn._core_stats_sym_mf.clear_cache()
+    got_d, got_f = pn.core_stats_pallas_sym_mf(idx, es, et, 1)
     v = np.asarray(idx.valid)
     assert np.array_equal(np.asarray(got_d)[v], np.asarray(want_d)[v])
     assert np.array_equal(np.asarray(got_f)[v], np.asarray(want_f)[v])
