@@ -75,9 +75,13 @@ class IngestedFrames:
 class FrameBatchLoader:
     """Streams frame-file groups through the device conversion program.
 
-    One ``convert_sweeps_batched`` + ``repack_padded`` jit pair is reused for
-    every frame (shapes bucketed), overlapping host CSV parse of frame f+1
-    with device conversion of frame f via JAX async dispatch.
+    One ``convert_sweeps_batched`` + ``repack_padded`` jit pair is reused
+    for every frame (shapes bucketed).  On a single-core host ingest is
+    parse-bound and measured strictly serial (parse ~0.7 s + pack/dispatch
+    ~0.3 s at bench scale; a 1-worker parse-ahead pool was chip-refuted —
+    see ``_parsed_stream`` and ARCHITECTURE.md roofline section); with
+    ``parse_workers`` > 1 the thread pool parses ahead of the consumer and
+    the pack/dispatch work overlaps parsing for real.
     """
 
     def __init__(
@@ -383,7 +387,16 @@ class FrameBatchLoader:
     def _parsed_stream(self, frame_files_list):
         """Yield (i, ts_ms, parsed) in frame order for non-empty frames,
         parsing ahead on a thread pool (native parse releases the GIL; the
-        window bounds RAM)."""
+        window bounds RAM).
+
+        With parse_workers <= 1 the stream is a plain sequential generator.
+        A 1-worker parse-AHEAD pool was built and chip-refuted on this rig:
+        ingest is measured strictly serial (full == parse + pack,
+        .chip_logs/profile_ingest_overlap_r5.log), but on a single host
+        core the handoff/GIL ping-pong costs ~100-140 ms while the device
+        dispatch it would hide blocks in-line on the tunnel anyway
+        (990 -> ~1124 ms full ingest, profile_ingest_overlap_r5_after.log)
+        — so overlap only engages where it can win, parse_workers > 1."""
         parse_one = (self.parse_frame_sparse if self.sparse
                      else self.load_frame_tables)
 
@@ -524,8 +537,28 @@ class FrameBatchLoader:
         num_bins = self.config.radar.num_echo_columns
         angle_scale = np.float32(self.config.radar.angle_scale)
 
+        from .. import native
+
         t0 = _t.perf_counter()
-        frames = list(self._parsed_stream(frame_files_list))
+        # consume the parse-ahead stream and fold the per-sweep trig tables
+        # + running xy bounds in as frames arrive: this work rides INSIDE
+        # the parse wall (the worker thread parses the next file meanwhile)
+        # instead of serializing after it
+        frames = []
+        tables = []  # per (frame, sweep): (scale_div, cos_r, sin_r)
+        raw_points = 0
+        bounds = np.array([np.inf, -np.inf, np.inf, -np.inf], np.float32)
+        for item in self._parsed_stream(frame_files_list):
+            frames.append(item)
+            row = []
+            for gain, rows_a, bins_a, vals_a, ang_units, scales, _ \
+                    in item[2]:
+                ang = np.deg2rad(ang_units * angle_scale)
+                t = (scales / np.float32(num_bins), np.cos(ang), np.sin(ang))
+                row.append(t)
+                native.sweep_xy_bounds(rows_a, bins_a, *t, bounds)
+                raw_points += len(rows_a)
+            tables.append(row)
         t_parse = _t.perf_counter() - t0
         if len(frames) <= min_frames_required:
             # too few frames for a persistence verdict (reference skips the
@@ -539,24 +572,10 @@ class FrameBatchLoader:
                               "num_frames": len(frames), "skipped": 1}
 
         t0 = _t.perf_counter()
-        # Per-row float32 tables in the reference's op order: the native
-        # streaming kernels then compute x = (scale_div[r]*bin)*cos_r[r]
+        # Per-row float32 tables (built above, in the reference's op order):
+        # the native streaming kernels compute x = (scale_div[r]*bin)*cos_r[r]
         # bit-identically, with no per-point Python-heap arrays (this host's
         # large-allocation page faults are pathologically slow and variable).
-        from .. import native
-
-        tables = []  # per (frame, sweep): (scale_div, cos_r, sin_r)
-        raw_points = 0
-        bounds = np.array([np.inf, -np.inf, np.inf, -np.inf], np.float32)
-        for _, _, sweeps in frames:
-            row = []
-            for gain, rows_a, bins_a, vals_a, ang_units, scales, _ in sweeps:
-                ang = np.deg2rad(ang_units * angle_scale)
-                t = (scales / np.float32(num_bins), np.cos(ang), np.sin(ang))
-                row.append(t)
-                native.sweep_xy_bounds(rows_a, bins_a, *t, bounds)
-                raw_points += len(rows_a)
-            tables.append(row)
         if not raw_points:
             raise ValueError("No frames produced any points")
 

@@ -331,6 +331,33 @@ def test_denoise_interrupt_resume_byte_identical(moving_dataset, tmp_path):
             name
 
 
+def test_denoise_sharded_checkpoint_then_resume(moving_dataset, tmp_path):
+    """A sharded denoise run with --checkpoint-dir writes the same gathered
+    cluster-stage artifact; --resume re-emits artifacts byte-identically to
+    BOTH the sharded run and a plain single-chip run."""
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    out_a = tmp_path / "single"
+    run_denoising_pipeline(moving_dataset, out_a, config=_cfg(),
+                           **_denoise_kw())
+
+    out_b = tmp_path / "sharded"
+    ck = tmp_path / "ckpt"
+    run_denoising_pipeline(moving_dataset, out_b, config=_cfg(), devices=4,
+                           checkpoint_dir=ck, **_denoise_kw())
+    assert (ck / ckpt.DENOISE_STAGE_FILE).exists()
+
+    out_c = tmp_path / "resumed"
+    run_denoising_pipeline(moving_dataset, out_c, config=_cfg(),
+                           checkpoint_dir=ck, resume=True, **_denoise_kw())
+    for name in DENOISE_ARTIFACTS:
+        ref = (out_a / name).read_bytes()
+        assert ref == (out_b / name).read_bytes(), name
+        assert ref == (out_c / name).read_bytes(), name
+
+
 def test_denoise_resume_param_mismatch_raises(moving_dataset, tmp_path):
     from radar_point_cloud_tracking_tpu.models.denoiser import (
         run_denoising_pipeline,

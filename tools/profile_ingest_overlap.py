@@ -76,6 +76,21 @@ def main():
           f"residual {(fmin-pmin)*1e3:.0f} ms "
           f"({100*(fmin-pmin)/fmin:.0f}% of full ingest)")
 
+    # decompose the residual: pack+dispatch on PRE-PARSED input (parse
+    # excluded) = the work that would have to hide under the parse
+    ld = loader()
+    cached = list(ld._parsed_stream(frame_files))
+    pack_times = []
+    for rep in range(reps):
+        ld = loader()
+        t0 = time.perf_counter()
+        ing = ld._pack_stream(iter(cached), len(cached), 32, 10**9)
+        jax.block_until_ready(ing.xyi)
+        pack_times.append(time.perf_counter() - t0)
+    print(f"pack+dispatch on pre-parsed input: "
+          f"{[round(t*1e3) for t in pack_times]} ms "
+          f"(best {min(pack_times)*1e3:.0f} ms)")
+
 
 if __name__ == "__main__":
     main()
