@@ -349,7 +349,8 @@ def _measure_tpu_median(run_fn, repeats: int):
 
 
 def _committed_baseline_ratio(data_dir: Path, name: str, cpu_frames: int,
-                              tpu_fps: float) -> float | None:
+                              tpu_fps: float,
+                              cpu_labels=None) -> float | None:
     """Speedup against the PINNED denominator (tools/record_cpu_baseline.py).
 
     The live `vs_baseline` re-times the CPU oracle under whatever load the
@@ -368,6 +369,19 @@ def _committed_baseline_ratio(data_dir: Path, name: str, cpu_frames: int,
         log(f"committed baseline {name} covers {rec['frames']} frames, "
             f"bench measured {cpu_frames}; skipped")
         return None
+    # staleness guard: the record stores the oracle labels' sha precisely so
+    # a drifted oracle/scene (same dataset sig, different labeling — hence
+    # different timing) cannot silently keep the obsolete denominator
+    if cpu_labels is not None and "labels_sha256" in rec:
+        import hashlib
+
+        got = hashlib.sha256(np.ascontiguousarray(
+            np.asarray(cpu_labels).astype(np.int32))).hexdigest()
+        if got != rec["labels_sha256"]:
+            log(f"committed baseline {name} is STALE (oracle labels sha "
+                f"{got[:12]}… != recorded {rec['labels_sha256'][:12]}…); "
+                "re-pin with tools/record_cpu_baseline.py")
+            return None
     ratio = round(tpu_fps / (cpu_frames / rec["median_seconds"]), 2)
     log(f"vs committed baseline ({name}: {rec['median_seconds']}s "
         f"median of {len(rec['env']['times_s'])}): {ratio}x")
@@ -539,9 +553,6 @@ def run_denoise_bench():
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
         "noise_reduction_pct": round(
             full_result.stats["noise_reduction_pct"], 2),
-        "vs_committed_baseline": _committed_baseline_ratio(
-            data_dir, f"cpu_denoise_baseline_f{cpu_frames}.json",
-            cpu_frames, tpu_fps),
         "env": {
             "host_cores": os.cpu_count(),
             "backend": jax.default_backend(),
@@ -549,6 +560,13 @@ def run_denoise_bench():
             "cpu_times_s": [round(t, 1) for t in cpu_times],
         },
     }
+    # same conditional-omit schema as the tracker mode: the key appears only
+    # when a committed denominator exists (never as null)
+    committed = _committed_baseline_ratio(
+        data_dir, f"cpu_denoise_baseline_f{cpu_frames}.json", cpu_frames,
+        tpu_fps, cpu_labels=cpu_labels)
+    if committed is not None:
+        out["vs_committed_baseline"] = committed
     if rec_match is not None:
         out["labels_match_committed_record"] = rec_match
     print(json.dumps(out))
@@ -771,7 +789,8 @@ def main():
         "vs_baseline": round(tpu_fps / cpu_fps, 2),
     }
     committed = _committed_baseline_ratio(
-        data_dir, f"cpu_baseline_f{cpu_frames}.json", cpu_frames, tpu_fps)
+        data_dir, f"cpu_baseline_f{cpu_frames}.json", cpu_frames, tpu_fps,
+        cpu_labels=cpu_labels)
     if committed is not None:
         out["vs_committed_baseline"] = committed
     if ref_time is not None:

@@ -126,29 +126,17 @@ def _result_from_denoise_artifact(checkpoint_dir: Path,
     functions of (points, labels), recomputed at the same padded capacity
     the original run used (_quarter_pow2), so every downstream artifact is
     byte-identical to the uninterrupted run (tests/test_checkpoint.py)."""
-    from ..ops.geometry import PAD_COORD
-
     with timer.stage("load_checkpoint"):
         art = _ckpt.load_stage_artifact(
             Path(checkpoint_dir) / _ckpt.DENOISE_STAGE_FILE)
-        saved = tuple(art["params"])
-        if tuple(float(p) for p in expected_params) != saved:
-            raise ValueError(
-                f"checkpoint at {checkpoint_dir} was written with "
-                f"(eps_space, eps_time, min_samples, min_frames)={saved}; "
-                f"resume requested {tuple(expected_params)} — rerun without "
-                "--resume or match the parameters")
-        pts_np = art["points"]
-        n_points = int(pts_np.shape[0])
+        _ckpt.check_stage_params(
+            checkpoint_dir, art, expected_params,
+            "(eps_space, eps_time, min_samples, min_frames, max_frames, "
+            "intensity_threshold, point_stride)")
         num_clusters = int(art["num_clusters"])
-        capacity = _quarter_pow2(n_points)
-        pad = capacity - n_points
-        points = jnp.concatenate([
-            jnp.asarray(pts_np, jnp.float32),
-            jnp.full((pad, pts_np.shape[1]), PAD_COORD, jnp.float32)])
-        labels = jnp.concatenate([
-            jnp.asarray(art["labels"], jnp.int32),
-            jnp.full((pad,), -1, jnp.int32)])
+        capacity = _quarter_pow2(int(art["points"].shape[0]))
+        points, labels, n_points = _ckpt.rebuild_stage_points_labels(
+            art, capacity)
 
     with timer.stage("stats"):
         pvalid = jnp.arange(capacity) < n_points
@@ -413,7 +401,11 @@ def run_denoising_pipeline(
     cfg = config or PipelineConfig()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    params = (eps_space, eps_time, min_samples, min_frames)
+    # the full parameter set the artifact's contents depend on: the cluster
+    # params AND the ingest knobs (a resume with a different max_frames /
+    # threshold / stride would silently re-emit the old run's outputs)
+    params = (eps_space, eps_time, min_samples, min_frames,
+              max_frames, intensity_threshold, point_stride)
     if resume and checkpoint_dir is None:
         raise ValueError("--resume requires --checkpoint-dir")
 
@@ -426,12 +418,16 @@ def run_denoising_pipeline(
     log("=" * 60)
 
     if resume:
-        log("\n[1-4/5] Resuming from checkpoint (ingest + clustering "
-            "skipped)...")
-        result = _result_from_denoise_artifact(
-            checkpoint_dir, params, StageTimer(verbose=verbose))
-        _write_denoise_outputs(result, output_dir, no_viz, skip_gif, log)
-        return result
+        # mirror run_tracking_pipeline's fallback: a preempted run may have
+        # died before the artifact landed — run from scratch, don't crash
+        if (Path(checkpoint_dir) / _ckpt.DENOISE_STAGE_FILE).exists():
+            log("\n[1-4/5] Resuming from checkpoint (ingest + clustering "
+                "skipped)...")
+            result = _result_from_denoise_artifact(
+                checkpoint_dir, params, StageTimer(verbose=verbose))
+            _write_denoise_outputs(result, output_dir, no_viz, skip_gif, log)
+            return result
+        log(f"No checkpoint found at {checkpoint_dir}; running from scratch")
 
     log("\n[1/5] Discovering data files...")
     gain_files = discover_files(Path(data_dir))

@@ -318,6 +318,11 @@ class TrackingPipeline:
                  verbose: bool = True) -> None:
         self.config = config or PipelineConfig()
         self.verbose = verbose
+        # extra values appended to the cluster-stage checkpoint's params
+        # tuple (run_tracking_pipeline sets the ingest knobs here so a
+        # resume with a different max_frames / threshold / stride fails
+        # loudly instead of re-emitting the old run's outputs)
+        self.checkpoint_ingest_params: tuple = ()
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -400,7 +405,8 @@ class TrackingPipeline:
                 checkpoint_dir, result.points_dev, result.labels_dev,
                 result.n_points, result.num_clusters, ingested.frame_ids,
                 f, result.land_cells, result.land_points_removed,
-                (float(eps_space), float(eps_time), float(min_samples)))
+                (float(eps_space), float(eps_time), float(min_samples))
+                + tuple(self.checkpoint_ingest_params))
             _ckpt.save_tracker_snapshot(
                 Path(checkpoint_dir),
                 jax.tree_util.tree_map(np.asarray, result.state), f,
@@ -722,27 +728,17 @@ class TrackingPipeline:
             art = _ckpt.load_stage_artifact(
                 checkpoint_dir / _ckpt.CLUSTER_STAGE_FILE)
             if expected_params is not None:
-                saved = tuple(art["params"])
-                if tuple(float(p) for p in expected_params) != saved:
-                    raise ValueError(
-                        f"checkpoint at {checkpoint_dir} was written with "
-                        f"(eps_space, eps_time, min_samples)={saved}; "
-                        f"resume requested {tuple(expected_params)} — rerun "
-                        "without --resume or match the parameters")
+                _ckpt.check_stage_params(
+                    checkpoint_dir, art, expected_params,
+                    "(eps_space, eps_time, min_samples, max_frames, "
+                    "intensity_threshold, point_stride)")
             pts_np = art["points"]
-            lbl_np = art["labels"]
-            n_points = int(pts_np.shape[0])
             num_clusters = int(art["num_clusters"])
             f = int(art["num_frames"])
             frame_ids = np.asarray(art["frame_ids"], np.int32)
-            capacity = _quarter_pow2(n_points)
-            pad = capacity - n_points
-            points = jnp.concatenate([
-                jnp.asarray(pts_np, jnp.float32),
-                jnp.full((pad, pts_np.shape[1]), PAD_COORD, jnp.float32)])
-            labels = jnp.concatenate([
-                jnp.asarray(lbl_np, jnp.int32),
-                jnp.full((pad,), -1, jnp.int32)])
+            capacity = _quarter_pow2(int(pts_np.shape[0]))
+            points, labels, n_points = _ckpt.rebuild_stage_points_labels(
+                art, capacity)
             pvalid = jnp.arange(capacity) < n_points
             snapshot = _ckpt.load_tracker_snapshot(checkpoint_dir)
 
@@ -931,7 +927,8 @@ class TrackingPipeline:
                 self._save_cluster_stage(
                     checkpoint_dir, points, labels, n_points, num_clusters,
                     ingested.frame_ids, f, land_cells, removed,
-                    (float(eps_space), float(eps_time), float(min_samples)))
+                    (float(eps_space), float(eps_time), float(min_samples))
+                + tuple(self.checkpoint_ingest_params))
             with timer.stage("tracking"):
                 cs = self._resolve_cluster_stats(
                     points, labels, pvalid, num_clusters, f)
@@ -1061,6 +1058,11 @@ def run_tracking_pipeline(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     pipe = TrackingPipeline(config, verbose=verbose)
+    # the artifact's contents also depend on these ingest knobs; save and
+    # validate them so a resume under different settings fails loudly
+    ingest_params = (float(max_frames), float(intensity_threshold),
+                     float(point_stride))
+    pipe.checkpoint_ingest_params = ingest_params
 
     if resume:
         if checkpoint_dir is None:
@@ -1072,7 +1074,8 @@ def run_tracking_pipeline(
             pipe._log("=" * 60)
             result = pipe.resume_from_checkpoint(
                 checkpoint_dir, checkpoint_every, interrupt_after_frames,
-                expected_params=(eps_space, eps_time, min_samples))
+                expected_params=(eps_space, eps_time, min_samples)
+                + ingest_params)
             result.save_csvs(output_dir)
             pipe._log(f"\nSaved CSV artifacts to {output_dir}")
             if visualize:

@@ -30,6 +30,7 @@ from ..ops.tracking import TrackerState
 
 __all__ = ["CheckpointInterrupt", "save_tracker_state", "load_tracker_state",
            "save_stage_artifact", "load_stage_artifact",
+           "check_stage_params", "rebuild_stage_points_labels",
            "CLUSTER_STAGE_FILE", "DENOISE_STAGE_FILE", "TRACKER_STATE_FILE",
            "TRACKER_RECORDS_FILE",
            "save_tracker_snapshot", "load_tracker_snapshot"]
@@ -82,15 +83,58 @@ def load_tracker_state(path: Path):
 
 def save_stage_artifact(path: Path, **arrays) -> None:
     """Persist intermediate stage outputs (labels, points, stats arrays) so a
-    later stage can restart without recomputation."""
+    later stage can restart without recomputation.
+
+    Writes land via a temp file + rename (same discipline as
+    ``save_tracker_snapshot``): a preemption mid-write — the very event this
+    artifact exists to survive — must not leave a truncated .npz at the
+    final path."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
+    tmp.replace(path)
 
 
 def load_stage_artifact(path: Path) -> dict:
     data = np.load(Path(path), allow_pickle=False)
     return {k: data[k] for k in data.files}
+
+
+def check_stage_params(checkpoint_dir: Path, art: dict,
+                       expected_params, names: str) -> None:
+    """Refuse to resume from an artifact written under different parameters.
+
+    ``names`` is the human-readable tuple of parameter names baked into the
+    error (shared by the tracker and denoiser resume paths so the message
+    format cannot drift between them)."""
+    saved = tuple(float(p) for p in art["params"])
+    if tuple(float(p) for p in expected_params) != saved:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} was written with "
+            f"{names}={saved}; resume requested {tuple(expected_params)} — "
+            "rerun without --resume or match the parameters")
+
+
+def rebuild_stage_points_labels(art: dict, capacity: int):
+    """Rebuild padded device (points, labels) from a stage artifact's tight
+    host buffers: pad slots get PAD_COORD coordinates / -1 labels, exactly
+    as the live cluster stage laid them out, so every downstream program
+    sees bit-identical inputs (tests/test_checkpoint.py)."""
+    import jax.numpy as jnp
+
+    from ..ops.geometry import PAD_COORD
+
+    pts_np = art["points"]
+    n_points = int(pts_np.shape[0])
+    pad = capacity - n_points
+    points = jnp.concatenate([
+        jnp.asarray(pts_np, jnp.float32),
+        jnp.full((pad, pts_np.shape[1]), PAD_COORD, jnp.float32)])
+    labels = jnp.concatenate([
+        jnp.asarray(art["labels"], jnp.int32),
+        jnp.full((pad,), -1, jnp.int32)])
+    return points, labels, n_points
 
 
 def save_tracker_snapshot(checkpoint_dir: Path, state: TrackerState,

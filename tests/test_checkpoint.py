@@ -472,3 +472,74 @@ def test_track_cli_checkpoint_resume(moving_dataset, tmp_path):
     for name in CSV_NAMES:
         assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
             name
+
+
+def test_denoise_resume_ingest_param_mismatch_raises(moving_dataset,
+                                                     tmp_path):
+    """The artifact's contents depend on the ingest knobs too: resuming
+    with a different max_frames must fail loudly, not silently re-emit the
+    old run's outputs."""
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    ck = tmp_path / "ckpt"
+    kw = _denoise_kw()
+    kw["max_frames"] = 4
+    run_denoising_pipeline(moving_dataset, tmp_path / "o1", config=_cfg(),
+                           checkpoint_dir=ck, **kw)
+    kw["max_frames"] = 0
+    with pytest.raises(ValueError, match="max_frames"):
+        run_denoising_pipeline(moving_dataset, tmp_path / "o2", config=_cfg(),
+                               checkpoint_dir=ck, resume=True, **kw)
+
+
+def test_resume_ingest_param_mismatch_raises(moving_dataset, tmp_path):
+    """Tracker analog: point_stride changes what the artifact would have
+    contained, so resume under a different stride is refused."""
+    ck = tmp_path / "ckpt"
+    run_tracking_pipeline(moving_dataset, tmp_path / "o1", config=_cfg(),
+                          checkpoint_dir=ck, point_stride=4, **_run_kw())
+    with pytest.raises(ValueError, match="point_stride"):
+        run_tracking_pipeline(moving_dataset, tmp_path / "o2", config=_cfg(),
+                              checkpoint_dir=ck, resume=True, point_stride=2,
+                              **_run_kw())
+
+
+def test_denoise_resume_missing_checkpoint_runs_from_scratch(moving_dataset,
+                                                             tmp_path):
+    """--resume with an empty checkpoint dir (a run preempted before the
+    artifact landed) must fall back to a from-scratch run, mirroring
+    run_tracking_pipeline — and produce identical artifacts to a plain run."""
+    from radar_point_cloud_tracking_tpu.models.denoiser import (
+        run_denoising_pipeline,
+    )
+
+    out_a = tmp_path / "plain"
+    run_denoising_pipeline(moving_dataset, out_a, config=_cfg(),
+                           **_denoise_kw())
+    out_b = tmp_path / "fallback"
+    ck = tmp_path / "empty_ck"
+    run_denoising_pipeline(moving_dataset, out_b, config=_cfg(),
+                           checkpoint_dir=ck, resume=True, **_denoise_kw())
+    # the fallback run completed AND saved the checkpoint it was asked for
+    assert (ck / ckpt.DENOISE_STAGE_FILE).exists()
+    for name in ("denoising_stats.csv", "clusters.csv"):
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            name
+
+
+def test_stage_artifact_write_is_atomic(tmp_path):
+    """save_stage_artifact lands via tmp+rename: no .tmp file survives, and
+    an interrupted write (simulated by pre-seeding a stale artifact) never
+    leaves a truncated file at the final path."""
+    path = tmp_path / "stage.npz"
+    ckpt.save_stage_artifact(path, a=np.arange(5), b=np.ones((2, 2)))
+    assert path.exists()
+    assert not list(tmp_path.glob("*.tmp.npz"))
+    art = ckpt.load_stage_artifact(path)
+    assert np.array_equal(art["a"], np.arange(5))
+    # overwrite keeps the same discipline
+    ckpt.save_stage_artifact(path, a=np.arange(3))
+    assert np.array_equal(ckpt.load_stage_artifact(path)["a"], np.arange(3))
+    assert not list(tmp_path.glob("*.tmp.npz"))

@@ -70,7 +70,9 @@ def main():
             times.append(t)
             h = hashlib.sha256(np.ascontiguousarray(
                 labels.astype(np.int32))).hexdigest()
-            assert sha is None or sha == h, "oracle labels varied across reps"
+            if sha is not None and sha != h:  # explicit: survives -O
+                raise SystemExit("oracle labels varied across reps — "
+                                 "unstable oracle, refusing to pin")
             sha = h
         _record(bench.RECORDS_DIR / sig / f"cpu_baseline_f{cf}.json", {
             "pipeline": "tracker",
@@ -88,7 +90,9 @@ def main():
             times.append(t)
             h = hashlib.sha256(np.ascontiguousarray(
                 labels.astype(np.int32))).hexdigest()
-            assert sha is None or sha == h, "oracle labels varied across reps"
+            if sha is not None and sha != h:  # explicit: survives -O
+                raise SystemExit("oracle labels varied across reps — "
+                                 "unstable oracle, refusing to pin")
             sha = h
         _record(bench.RECORDS_DIR / sig
                 / f"cpu_denoise_baseline_f{cf}.json", {
