@@ -86,3 +86,46 @@ def test_logging_helpers(capsys):
     t = CommandTimer()
     key, val = t.row()
     assert key == "Duration" and val.endswith("s")
+
+
+def test_committed_baseline_ratio_staleness_guard(tmp_path, monkeypatch):
+    """bench._committed_baseline_ratio: a pinned record whose oracle-labels
+    sha no longer matches the live oracle labels must be rejected (return
+    None) instead of silently keeping the obsolete denominator; a matching
+    sha (or no labels passed) yields the pinned ratio."""
+    import hashlib
+    import json
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    labels = np.array([0, 0, 1, -1, 2], np.int64)
+    sha = hashlib.sha256(
+        np.ascontiguousarray(labels.astype(np.int32))).hexdigest()
+    data_dir = tmp_path / "sig_x"
+    data_dir.mkdir()
+    rec = {"pipeline": "tracker", "frames": 4, "median_seconds": 80.0,
+           "labels_sha256": sha, "env": {"times_s": [80.0, 81.0, 79.0]}}
+    (data_dir / "cpu_baseline_f4.json").write_text(json.dumps(rec))
+
+    # matching sha -> pinned ratio (tpu_fps / (frames / median))
+    got = bench._committed_baseline_ratio(data_dir, "cpu_baseline_f4.json",
+                                          4, 10.0, cpu_labels=labels)
+    assert got == 200.0
+    # no labels passed -> ratio still computed (guard is opt-in per caller)
+    assert bench._committed_baseline_ratio(
+        data_dir, "cpu_baseline_f4.json", 4, 10.0) == 200.0
+    # drifted labels -> stale record rejected
+    drifted = labels.copy()
+    drifted[0] = 5
+    assert bench._committed_baseline_ratio(
+        data_dir, "cpu_baseline_f4.json", 4, 10.0,
+        cpu_labels=drifted) is None
+    # frame-count mismatch -> skipped
+    assert bench._committed_baseline_ratio(
+        data_dir, "cpu_baseline_f4.json", 8, 10.0,
+        cpu_labels=labels) is None
